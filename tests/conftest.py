@@ -1,0 +1,22 @@
+"""Test configuration: force an 8-device virtual CPU platform.
+
+The reference never tests distributed paths (SURVEY.md §4.6); we do better
+by running every test on a host-device-count-spoofed CPU so sharding and
+collectives are exercised without TPU hardware.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,113 @@
+"""Convolutional feature frontend (2D conv subsampling blocks).
+
+TPU-native equivalent of the reference ``ConvolutionFrontEnd``
+(``vendor/speechbrain/speechbrain/lobes/models/convolution.py:103-267``):
+N blocks of [Conv2d -> LayerNorm(channels) -> act -> dropout] x layers,
+stride applied on the *last* conv of each block, plus an optional 1x1-conv
+residual branch (conv stride s -> LayerNorm, added before a final block
+dropout). The recipe uses 2 blocks, kernel 3, stride (2,2), residual=True
+=> 4x time subsampling and (B, T/4, F/4, C) output.
+
+Padding semantics reproduce the reference exactly
+(``nnet/CNN.py:640-716,1478-1499``):
+- ``same`` with stride>1 pads floor(k/2) on both sides of each spatial dim
+  (so out_len = ceil(in_len / stride) for k=3);
+- ``causal`` left-pads (k-1) on the *time* dim and same-pads the freq dim.
+
+Layout is (B, T, F, C) channels-last, the native layout for TPU convs.
+"""
+
+from typing import Any, Callable, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def _pad_amounts(kernel, stride, causal_time=False):
+    """Per-dim (lo, hi) paddings matching the reference conventions."""
+    k_t, k_f = kernel
+    if causal_time:
+        pad_t = (k_t - 1, 0)
+    else:
+        pad_t = (k_t // 2, k_t // 2) if stride[0] > 1 else \
+            ((k_t - 1) // 2, (k_t - 1) // 2)
+    pad_f = (k_f // 2, k_f // 2) if stride[1] > 1 else \
+        ((k_f - 1) // 2, (k_f - 1) // 2)
+    return [pad_t, pad_f]
+
+
+class ConvBlock(nn.Module):
+    """One frontend block with optional strided residual branch."""
+
+    out_channels: int
+    num_layers: int = 1
+    kernel_size: int = 3
+    stride: int = 1
+    residual: bool = True
+    dropout: float = 0.1
+    causal: bool = False
+    activation: Callable = nn.leaky_relu
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        k = (self.kernel_size, self.kernel_size)
+        out = x
+        for i in range(self.num_layers):
+            s = (self.stride, self.stride) if i == self.num_layers - 1 \
+                else (1, 1)
+            out = nn.Conv(self.out_channels, kernel_size=k, strides=s,
+                          padding=_pad_amounts(k, s, self.causal),
+                          dtype=self.dtype, name=f"conv_{i}")(out)
+            out = nn.LayerNorm(dtype=self.dtype, name=f"norm_{i}")(out)
+            out = self.activation(out)
+            out = nn.Dropout(self.dropout,
+                             deterministic=deterministic)(out)
+        if self.residual:
+            res = nn.Conv(self.out_channels, kernel_size=(1, 1),
+                          strides=(self.stride, self.stride),
+                          padding="VALID", dtype=self.dtype,
+                          name="residual_conv")(x)
+            res = nn.LayerNorm(dtype=self.dtype, name="residual_norm")(res)
+            out = out + res
+            out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
+        return out
+
+
+class ConvolutionFrontEnd(nn.Module):
+    """Stack of ConvBlocks; input (B, T, F) gains a channel dim."""
+
+    out_channels: Sequence[int] = (128, 128)
+    kernel_sizes: Sequence[int] = (3, 3)
+    strides: Sequence[int] = (2, 2)
+    residuals: Sequence[bool] = (True, True)
+    num_layers_per_block: int = 1
+    dropout: float = 0.1
+    causal: bool = False
+    activation: Callable = nn.leaky_relu
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        """x: (B, T, F) features -> (B, T', F', C) subsampled maps."""
+        if x.ndim == 3:
+            x = x[..., None]
+        for i, (ch, k, s, r) in enumerate(zip(
+                self.out_channels, self.kernel_sizes, self.strides,
+                self.residuals)):
+            x = ConvBlock(out_channels=ch, kernel_size=k, stride=s,
+                          residual=r, num_layers=self.num_layers_per_block,
+                          dropout=self.dropout, causal=self.causal,
+                          activation=self.activation, dtype=self.dtype,
+                          name=f"block_{i}")(x, deterministic)
+        return x
+
+    @staticmethod
+    def output_length(in_length, strides=(2, 2)):
+        """Subsampled length for 'same' padding (ceil division chain)."""
+        out = in_length
+        for s in strides:
+            out = -(-out // s)
+        return out

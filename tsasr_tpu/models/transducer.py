@@ -1,0 +1,286 @@
+"""Transducer model assembly: TS-Conformer encoder + LSTM predictor + joint.
+
+TPU-native equivalent of the reference recipe's module graph
+(``hparams/LibriSpeechMix/conformer-t_scratch.yaml:122-251`` and the
+forward pass in ``train_librispeechmix_scratch.py:34-135``):
+
+    mixture feats -> ConvFrontEnd -> TSConformer(12L, +inject) -> enc_proj
+    enroll feats  -> ConvFrontEnd -> TSConformer(6L) -> masked mean-pool
+                  -> speaker_proj
+    tokens_bos    -> one-hot Embedding(V -> V-1) -> LSTM -> dec_proj
+    logits = head(leaky_relu(enc[:,T,1,:] + dec[:,1,U,:]))
+
+Components mirrored:
+- one-hot Embedding with zeroed blank row
+  (``nnet/embedding.py:14-114``);
+- ``Transducer_joint`` sum/concat + nonlinearity
+  (``nnet/transducer/transducer_joint.py:14-95``);
+- masked ceil-length time pooling of the speaker encoding
+  (``train_librispeechmix_scratch.py:54-64``).
+"""
+
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tsasr_tpu.models.conformer import TSConformerEncoder
+from tsasr_tpu.models.frontend import ConvolutionFrontEnd
+from tsasr_tpu.models.rnn import LSTM
+from tsasr_tpu.ops.masks import length_to_mask
+
+Dtype = Any
+xavier_normal = nn.initializers.xavier_normal
+
+
+@dataclass(frozen=True)
+class TSTransducerConfig:
+    """Model hyperparameters; keys mirror the reference YAML."""
+
+    vocab_size: int = 29
+    blank_index: int = 0
+    n_mels: int = 80
+    d_model: int = 256
+    nhead: int = 4
+    encoder_num_layers: int = 12
+    d_ffn: int = 2048
+    kernel_size: int = 31
+    dropout: float = 0.1
+    causal_encoder: bool = False
+    frontend_causal: bool = False
+    frontend_channels: Sequence[int] = (128, 128)
+    frontend_strides: Sequence[int] = (2, 2)
+    injection_mode: Optional[str] = "cat"
+    injection_after: Union[int, Sequence[int]] = 0
+    use_speaker_encoder: bool = True
+    speaker_encoder_layers: int = 6
+    speaker_embedding_dim: Optional[int] = None  # external d-vectors (wavlm)
+    decoder_neurons: int = 512
+    decoder_num_layers: int = 1
+    joint_dim: int = 640
+    joint_mode: str = "sum"
+    dtype: Any = jnp.float32
+
+
+class OneHotEmbedding(nn.Module):
+    """Fixed one-hot embedding: vocab V -> V-1 dims, blank row all-zero.
+
+    Matches the reference ``Embedding(consider_as_one_hot=True)``:
+    non-blank token i maps to unit vector at position (i-1 if i > blank
+    else i); the blank/BOS token maps to the zero vector.
+    """
+
+    num_embeddings: int
+    blank_id: int = 0
+    dtype: Dtype = jnp.float32
+
+    def __call__(self, tokens):
+        V = self.num_embeddings
+        eye = jnp.eye(V - 1, dtype=self.dtype)
+        rows = []
+        for i in range(V):
+            if i == self.blank_id:
+                rows.append(jnp.zeros((V - 1,), self.dtype))
+            elif i < self.blank_id:
+                rows.append(eye[i])
+            else:
+                rows.append(eye[i - 1])
+        table = jnp.stack(rows)
+        return table[tokens]
+
+
+class Predictor(nn.Module):
+    """Prediction network: one-hot embed -> LSTM -> joint projection."""
+
+    vocab_size: int
+    blank_index: int = 0
+    hidden_size: int = 512
+    num_layers: int = 1
+    joint_dim: int = 640
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.embedding = OneHotEmbedding(self.vocab_size, self.blank_index,
+                                         dtype=self.dtype)
+        self.decoder = LSTM(self.hidden_size, self.num_layers,
+                            dtype=self.dtype)
+        self.decoder_proj = nn.Dense(self.joint_dim, dtype=self.dtype,
+                                     name="decoder_proj")
+
+    def __call__(self, tokens_bos, initial_state=None):
+        embs = self.embedding(tokens_bos)
+        dec_out, state = self.decoder(embs, initial_state)
+        return self.decoder_proj(dec_out), state
+
+    def step(self, token, state):
+        """One decode step: token (B,) int -> (dec_proj (B, J), state)."""
+        emb = self.embedding(token)
+        out, state = self.decoder.step(emb, state)
+        return self.decoder_proj(out), state
+
+    def initial_state(self, batch_size):
+        return self.decoder.initial_state(batch_size, dtype=self.dtype)
+
+
+class Joiner(nn.Module):
+    """Transducer joint: broadcast sum (or concat+Dense) + nonlinearity."""
+
+    joint_dim: int = 640
+    mode: str = "sum"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, enc, dec):
+        """enc (..., 1, J) + dec (..., U, J) broadcast-joined."""
+        if self.mode == "sum":
+            joint = enc + dec
+        elif self.mode == "concat":
+            shape = jnp.broadcast_shapes(enc.shape[:-1], dec.shape[:-1])
+            enc_b = jnp.broadcast_to(enc, shape + enc.shape[-1:])
+            dec_b = jnp.broadcast_to(dec, shape + dec.shape[-1:])
+            joint = jnp.concatenate([enc_b, dec_b], axis=-1)
+            joint = nn.Dense(self.joint_dim, dtype=self.dtype,
+                             name="joint_network")(joint)
+        else:
+            raise ValueError(f"joint mode {self.mode}")
+        return jax.nn.leaky_relu(joint)
+
+
+class TSTransducer(nn.Module):
+    """Full TS-ASR transducer (flagship model).
+
+    Public methods (all usable through ``Module.apply(..., method=...)``):
+    - ``__call__``: training forward -> logits (B, T', U+1, V)
+    - ``encode``: mixture features -> projected encoder output
+    - ``extract_speaker``: enrollment features -> speaker embedding
+    - ``predict`` / ``predict_step``: prediction network
+    - ``joint_logits``: joint + head on arbitrary enc/dec slices
+    """
+
+    config: TSTransducerConfig = field(default_factory=TSTransducerConfig)
+
+    def setup(self):
+        c = self.config
+        self.frontend = ConvolutionFrontEnd(
+            out_channels=tuple(c.frontend_channels),
+            strides=tuple(c.frontend_strides), dropout=c.dropout,
+            causal=c.frontend_causal, dtype=c.dtype)
+        self.encoder = TSConformerEncoder(
+            d_model=c.d_model, nhead=c.nhead,
+            num_layers=c.encoder_num_layers, d_ffn=c.d_ffn,
+            kernel_size=c.kernel_size, dropout=c.dropout,
+            causal=c.causal_encoder, injection_mode=c.injection_mode,
+            injection_after=(tuple(c.injection_after)
+                             if isinstance(c.injection_after, (list, tuple))
+                             else (c.injection_after,)),
+            dtype=c.dtype)
+        self.encoder_proj = nn.Dense(c.joint_dim, dtype=c.dtype,
+                                     name="encoder_proj")
+        self.predictor = Predictor(
+            vocab_size=c.vocab_size, blank_index=c.blank_index,
+            hidden_size=c.decoder_neurons, num_layers=c.decoder_num_layers,
+            joint_dim=c.joint_dim, dtype=c.dtype)
+        self.joiner = Joiner(joint_dim=c.joint_dim, mode=c.joint_mode,
+                             dtype=c.dtype)
+        self.head = nn.Dense(c.vocab_size, dtype=c.dtype,
+                             name="transducer_head")
+
+        if c.use_speaker_encoder and c.injection_mode is not None:
+            self.speaker_frontend = ConvolutionFrontEnd(
+                out_channels=tuple(c.frontend_channels),
+                strides=tuple(c.frontend_strides), dropout=c.dropout,
+                causal=False, dtype=c.dtype)
+            self.speaker_encoder = TSConformerEncoder(
+                d_model=c.d_model, nhead=c.nhead,
+                num_layers=c.speaker_encoder_layers, d_ffn=c.d_ffn,
+                kernel_size=c.kernel_size, dropout=c.dropout,
+                causal=False, injection_mode=None, dtype=c.dtype)
+        if c.injection_mode is not None:
+            # speaker_proj maps (own encoder d_model | external dim)
+            self.speaker_proj = nn.Dense(c.d_model, dtype=c.dtype,
+                                         name="speaker_proj")
+
+    # ----------------------------------------------------------- speaker
+    def extract_speaker(self, enroll_feats, enroll_rel_lens,
+                        deterministic=True):
+        """Enrollment features -> projected speaker embedding (B, 1, D)
+        (or (B, S, D) for cross_attention mode, unpooled)."""
+        c = self.config
+        x = self.speaker_frontend(enroll_feats, deterministic=deterministic)
+        x = self.speaker_encoder(x, enroll_rel_lens,
+                                 deterministic=deterministic)
+        if c.injection_mode != "cross_attention":
+            x = self.pool_speaker(x, enroll_rel_lens)
+        return self.speaker_proj(x)
+
+    def project_external_speaker(self, speaker_embs):
+        """External (e.g. WavLM d-vector) embedding -> model space."""
+        return self.speaker_proj(speaker_embs)
+
+    @staticmethod
+    def pool_speaker(x, rel_lens):
+        """Masked mean over time with ceil lengths
+        (``train_librispeechmix_scratch.py:54-64``)."""
+        S = x.shape[-2]
+        abs_len = jnp.minimum(jnp.ceil(rel_lens * S), S).astype(jnp.int32)
+        mask = length_to_mask(abs_len, S)[..., None].astype(x.dtype)
+        summed = jnp.sum(x * mask, axis=-2, keepdims=True)
+        return summed / jnp.sum(mask, axis=-2, keepdims=True)
+
+    # ----------------------------------------------------------- encoder
+    def encode(self, feats, rel_lens, speaker_embs=None,
+               speaker_rel_lens=None, deterministic=True):
+        """Mixture features (B, T, n_mels) -> (B, T', joint_dim)."""
+        x = self.frontend(feats, deterministic=deterministic)
+        x = self.encoder(x, rel_lens, speaker_embs=speaker_embs,
+                         speaker_embs_length=speaker_rel_lens,
+                         deterministic=deterministic)
+        return self.encoder_proj(x)
+
+    # --------------------------------------------------------- predictor
+    def predict(self, tokens_bos, initial_state=None):
+        return self.predictor(tokens_bos, initial_state)
+
+    def predict_step(self, token, state):
+        return self.predictor.step(token, state)
+
+    def predictor_initial_state(self, batch_size):
+        return self.predictor.initial_state(batch_size)
+
+    # -------------------------------------------------------------- joint
+    def joint_logits(self, enc, dec):
+        """enc (..., 1, J), dec (..., U, J) -> logits (..., U, V)."""
+        return self.head(self.joiner(enc, dec))
+
+    # ----------------------------------------------------------- training
+    def __call__(self, feats, rel_lens, tokens_bos, enroll_feats=None,
+                 enroll_rel_lens=None, external_speaker_embs=None,
+                 deterministic=True):
+        """Training/eval forward pass -> (logits, enc_out).
+
+        ``enroll_feats`` drives the scratch speaker encoder;
+        ``external_speaker_embs`` ((B, 1, E) or (B, S, E)) bypasses it
+        (the ``pretrained`` variant's frozen WavLM d-vectors).
+        """
+        c = self.config
+        speaker_embs = None
+        speaker_rel = None
+        if c.injection_mode is not None:
+            if external_speaker_embs is not None:
+                speaker_embs = self.project_external_speaker(
+                    external_speaker_embs)
+                speaker_rel = enroll_rel_lens
+            elif enroll_feats is not None:
+                speaker_embs = self.extract_speaker(
+                    enroll_feats, enroll_rel_lens,
+                    deterministic=deterministic)
+                speaker_rel = enroll_rel_lens
+
+        enc_out = self.encode(feats, rel_lens, speaker_embs, speaker_rel,
+                              deterministic=deterministic)
+        dec_out, _ = self.predict(tokens_bos)
+        logits = self.joint_logits(enc_out[:, :, None, :],
+                                   dec_out[:, None, :, :])
+        return logits, enc_out
