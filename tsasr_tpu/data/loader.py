@@ -1,0 +1,182 @@
+"""Data loading: prefetching loader with checkpointable iterator position.
+
+Equivalent of the reference's loading stack
+(``vendor/speechbrain/speechbrain/dataio/dataloader.py``):
+- ``SaveableDataLoader`` (:256-335): the number of batches already yielded
+  this epoch is saved with a checkpoint and skipped on resume (mid-epoch
+  elastic resume). The reference patches torch's
+  ``_BaseDataLoaderIter``; here the loader owns its iterator so the
+  position is a first-class field.
+- ``LoopedLoader`` (:338-411): infinite cycling with nominal epoch length.
+- ``make_dataloader``: picks collation and wraps samplers.
+
+Prefetch runs on a background thread (decode + mixing are
+numpy/IO-dominated and overlap well with device steps); the batch queue
+is bounded to keep host memory flat.
+"""
+
+import queue
+import threading
+
+from tsasr_tpu.data.batch import PaddedBatch
+
+
+class SaveableDataLoader:
+    """Iterates batches of collated examples; resumable mid-epoch."""
+
+    def __init__(self, dataset, batch_size=1, batch_sampler=None,
+                 sampler=None, collate_fn=None, drop_last=False,
+                 num_workers=0, prefetch=2, pad_to_multiple=None):
+        self.dataset = dataset
+        self.collate_fn = collate_fn or (
+            lambda ex: PaddedBatch(ex, pad_to_multiple=pad_to_multiple))
+        self.batch_sampler = batch_sampler
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.drop_last = drop_last
+        self.num_workers = num_workers
+        self.prefetch = max(1, prefetch)
+        self._speechbrain_recovery_skip_to = None
+        self._num_batches_yielded = 0
+
+    # ------------------------------------------------------------ batches
+    def _batch_indices(self):
+        if self.batch_sampler is not None:
+            yield from self.batch_sampler
+            return
+        order = list(self.sampler) if self.sampler is not None \
+            else range(len(self.dataset))
+        batch = []
+        for idx in order:
+            batch.append(idx)
+            if len(batch) == self.batch_size:
+                yield batch
+                batch = []
+        if batch and not self.drop_last:
+            yield batch
+
+    def __len__(self):
+        if self.batch_sampler is not None:
+            return len(self.batch_sampler)
+        n = len(self.dataset)
+        if self.sampler is not None:
+            n = len(self.sampler)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _make_batch(self, indices):
+        return self.collate_fn([self.dataset[i] for i in indices])
+
+    def __iter__(self):
+        skip = self._speechbrain_recovery_skip_to or 0
+        self._speechbrain_recovery_skip_to = None
+        self._num_batches_yielded = skip
+
+        def gen():
+            for n, indices in enumerate(self._batch_indices()):
+                if n < skip:
+                    continue
+                yield self._make_batch(indices)
+
+        if self.num_workers > 0:
+            iterator = _prefetch_iter(gen(), self.prefetch)
+        else:
+            iterator = gen()
+        for batch in iterator:
+            self._num_batches_yielded += 1
+            yield batch
+        self._num_batches_yielded = 0
+
+    # --------------------------------------------------------- checkpoint
+    def save_position(self):
+        """Checkpoint hook payload: batches consumed this epoch."""
+        return {"num_batches_yielded": self._num_batches_yielded}
+
+    def load_position(self, state, end_of_epoch=True):
+        if not end_of_epoch and state and state.get("num_batches_yielded"):
+            self._speechbrain_recovery_skip_to = \
+                state["num_batches_yielded"]
+
+    def set_epoch(self, epoch):
+        for s in (self.batch_sampler, self.sampler):
+            if s is not None and hasattr(s, "set_epoch"):
+                s.set_epoch(epoch)
+
+
+def _prefetch_iter(source, depth):
+    """Background-thread prefetch of an iterator."""
+    q = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in source:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # propagate into consumer
+            q.put(e)
+
+    thread = threading.Thread(target=worker, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
+class LoopedLoader:
+    """Infinitely cycles a loader; epochs are nominal lengths.
+
+    Used when training by step count rather than dataset passes
+    (reference ``dataio/dataloader.py:338-411``).
+    """
+
+    def __init__(self, loader, epoch_length):
+        self.loader = loader
+        self.epoch_length = int(epoch_length)
+        self.step = 0
+        self.total_steps = 0
+        self._iterator = None
+
+    def __iter__(self):
+        if self._iterator is None:
+            self._iterator = iter(self.loader)
+        self.step = 0
+        return self
+
+    def __next__(self):
+        if self.step >= self.epoch_length:
+            raise StopIteration
+        self.step += 1
+        self.total_steps += 1
+        try:
+            return next(self._iterator)
+        except StopIteration:
+            self._iterator = iter(self.loader)
+            return next(self._iterator)
+
+    def __len__(self):
+        return self.epoch_length
+
+    def save_position(self):
+        return {"step": self.step, "total_steps": self.total_steps}
+
+    def load_position(self, state, end_of_epoch=True):
+        self.total_steps = state.get("total_steps", 0)
+        if not end_of_epoch:
+            self.step = state.get("step", 0)
+
+
+def make_dataloader(dataset, stage="train", looped_nominal_epoch=None,
+                    **loader_kwargs):
+    """Build a loader the way the reference Brain does
+    (``core.py:812-880``): PaddedBatch collation by default, optional
+    looped wrapping for nominal epochs."""
+    loader = SaveableDataLoader(dataset, **loader_kwargs)
+    if looped_nominal_epoch is not None:
+        return LoopedLoader(loader, looped_nominal_epoch)
+    return loader
