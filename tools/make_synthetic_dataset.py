@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Synthesize a tiny LibriSpeechMix-shaped dataset for smoke tests.
+
+Generates per-speaker "utterances" (band-limited tone+noise mixtures with
+deterministic seeds) plus {split}.jsonl annotation files in the
+LibriSpeechMix format, so the full training pipeline can run end-to-end
+on hosts without the real corpus (the reference bundles tiny test audio
+for the same purpose, ``vendor/speechbrain/tests/samples``).
+"""
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+WORDS = ["the", "quick", "brown", "fox", "jumps", "over", "a", "lazy",
+         "dog", "and", "runs", "far", "away", "home", "now"]
+
+
+def synth_utterance(rng, duration, sample_rate):
+    """A crude 'speech-like' signal: sum of drifting tones + noise."""
+    n = int(duration * sample_rate)
+    t = np.arange(n) / sample_rate
+    sig = np.zeros(n, np.float32)
+    f0 = rng.uniform(90, 250)
+    for harmonic in range(1, 4):
+        vibr = 1 + 0.02 * np.sin(2 * np.pi * rng.uniform(2, 5) * t)
+        sig += (0.2 / harmonic) * np.sin(
+            2 * np.pi * f0 * harmonic * vibr * t).astype(np.float32)
+    envelope = 0.5 * (1 + np.sin(2 * np.pi * rng.uniform(1.5, 3.5) * t))
+    sig = sig * envelope.astype(np.float32)
+    sig += rng.normal(0, 0.01, n).astype(np.float32)
+    return np.clip(sig, -1, 1)
+
+
+def make_dataset(out_dir, n_speakers=4, utts_per_speaker=6, n_mix=12,
+                 num_speakers_per_mix=2, min_dur=1.0, max_dur=3.0,
+                 sample_rate=16000, seed=0, splits=("train-2mix",
+                                                    "dev-clean-2mix",
+                                                    "test-clean-2mix")):
+    from tsasr_tpu.data.audio import write_wav
+    rng = np.random.default_rng(seed)
+    os.makedirs(out_dir, exist_ok=True)
+
+    # speaker utterance inventory
+    inventory = {}
+    texts = {}
+    for spk in range(n_speakers):
+        spk_dir = os.path.join(out_dir, f"spk{spk}")
+        os.makedirs(spk_dir, exist_ok=True)
+        utts = []
+        for u in range(utts_per_speaker):
+            dur = float(rng.uniform(min_dur, max_dur))
+            wav = synth_utterance(rng, dur, sample_rate)
+            rel = f"spk{spk}/utt{u}.wav"
+            write_wav(os.path.join(out_dir, rel), wav, sample_rate)
+            n_words = max(2, int(dur * 3))
+            text = " ".join(rng.choice(WORDS, n_words)).upper()
+            utts.append((rel, dur))
+            texts[rel] = text
+        inventory[spk] = utts
+
+    for split in splits:
+        entries = []
+        for m in range(n_mix):
+            spks = rng.choice(n_speakers, num_speakers_per_mix,
+                              replace=False)
+            wavs, durations, delays, mix_texts = [], [], [], []
+            for i, spk in enumerate(spks):
+                rel, dur = inventory[spk][
+                    rng.integers(len(inventory[spk]))]
+                wavs.append(rel)
+                durations.append(dur)
+                delays.append(0.0 if i == 0
+                              else float(rng.uniform(0, 1.0)))
+                mix_texts.append(texts[rel])
+            profile = []
+            profile_index = []
+            for spk in spks:
+                enrolls = [rel for rel, _ in inventory[spk]
+                           if rel not in wavs][:2]
+                profile_index.append(len(profile))
+                profile.append(enrolls or [inventory[spk][0][0]])
+            entries.append({
+                "id": f"{split}_{m}",
+                "wavs": wavs,
+                "durations": durations,
+                "delays": delays,
+                "texts": mix_texts,
+                "speaker_profile": profile,
+                "speaker_profile_index": profile_index,
+                "speakers": [f"spk{s}" for s in spks],
+                "genders": ["m" for _ in spks],
+            })
+        with open(os.path.join(out_dir, f"{split}.jsonl"), "w") as f:
+            for entry in entries:
+                f.write(json.dumps(entry) + "\n")
+    return out_dir
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("out_dir")
+    parser.add_argument("--n_mix", type=int, default=12)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+    make_dataset(args.out_dir, n_mix=args.n_mix, seed=args.seed)
+    print(f"Synthetic LibriSpeechMix-style dataset at {args.out_dir}")

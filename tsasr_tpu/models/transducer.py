@@ -104,8 +104,9 @@ class Predictor(nn.Module):
     def setup(self):
         self.embedding = OneHotEmbedding(self.vocab_size, self.blank_index,
                                          dtype=self.dtype)
-        self.decoder = LSTM(self.hidden_size, self.num_layers,
-                            dtype=self.dtype)
+        self.decoder = LSTM(hidden_size=self.hidden_size,
+                            in_features=self.vocab_size - 1,
+                            num_layers=self.num_layers, dtype=self.dtype)
         self.decoder_proj = nn.Dense(self.joint_dim, dtype=self.dtype,
                                      name="decoder_proj")
 

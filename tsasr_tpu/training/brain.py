@@ -1,0 +1,475 @@
+"""The Brain: fit/evaluate training template over jitted SPMD steps.
+
+Functional equivalent of the reference trainer
+(``vendor/speechbrain/speechbrain/core.py:422-1643``), redesigned for
+JAX/TPU:
+
+- the reference's per-batch Python autograd loop becomes ONE jitted
+  ``train_step`` (forward + loss + grad + clip + optimizer update +
+  gradient accumulation via ``optax.MultiSteps``), compiled once per
+  bucket shape; batches arrive bucket-quantized so the compile set stays
+  small;
+- DDP wrapping/no_sync (``core.py:1057,1464-1490``) disappears: the step
+  is SPMD over a mesh, the gradient mean is an XLA psum over the 'data'
+  axis, and accumulation skips nothing because the collective is part of
+  the compiled program;
+- fp16/bf16 autocast + GradScaler (``core.py:1058-1089``) becomes native
+  bf16 compute dtype with f32 params/optimizer — no scaler needed on TPU;
+- run-opts cascade (CLI > hparams > defaults, ``core.py:550-606``),
+  nonfinite-loss patience (``core.py:1115-1150``), grad-norm tracking,
+  debug mode (N batches/epochs), intra-epoch checkpointing by minutes or
+  steps (``core.py:1241-1257``), ``--test_only``, progressbars, and the
+  named-recoverable checkpoint discipline are all preserved.
+
+Subclasses override ``compute_forward`` / ``compute_objectives`` (pure,
+jit-traced) and the ``on_*`` hooks (host side), mirroring the reference
+Brain API surface.
+"""
+
+import logging
+import os
+import time
+from types import SimpleNamespace
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tsasr_tpu.data.loader import LoopedLoader, SaveableDataLoader
+from tsasr_tpu.parallel.distributed import if_main_process
+from tsasr_tpu.training.schedulers import noam_schedule
+from tsasr_tpu.utils.stage import Stage
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_RUN_OPTS = {
+    "debug": False,
+    "debug_batches": 2,
+    "debug_epochs": 2,
+    "device": None,
+    "precision": "fp32",            # fp32 | bf16
+    "noprogressbar": False,
+    "grad_accumulation_factor": 1,
+    "optimizer_step_limit": None,
+    "ckpt_interval_minutes": 0,
+    "ckpt_interval_steps": 0,
+    "max_grad_norm": 5.0,
+    "nonfinite_patience": 3,
+    "test_only": False,
+    "tqdm_colored_bar": False,
+}
+
+
+class Brain:
+    """Training orchestrator. Construct with:
+
+    modules : dict with at least ``model`` (a flax Module); exposed as
+        ``self.modules.<name>``.
+    opt_class : optimizer factory (see ``training.optimizers``) taking an
+        optional learning_rate/schedule.
+    hparams : plain dict -> attribute access via ``self.hparams``.
+    run_opts : runtime flag dict (overrides hparams which override
+        defaults, the reference cascade).
+    checkpointer : ``Checkpointer`` or None; the Brain registers itself
+        (params/opt state/step counters) as recoverable "brain".
+    mesh : ``jax.sharding.Mesh`` or None (single device).
+    """
+
+    def __init__(self, modules=None, opt_class=None, hparams=None,
+                 run_opts=None, checkpointer=None, mesh=None):
+        self.opt_class = opt_class
+        self.hparams = SimpleNamespace(**(hparams or {}))
+        self.checkpointer = checkpointer
+        self.mesh = mesh
+
+        resolved = dict(DEFAULT_RUN_OPTS)
+        for key in resolved:
+            if hparams and key in hparams:
+                resolved[key] = hparams[key]
+        for key, value in (run_opts or {}).items():
+            if value is not None:
+                resolved[key] = value
+        for key, value in resolved.items():
+            setattr(self, key, value)
+
+        self.modules = SimpleNamespace(**(modules or {}))
+        self.model = getattr(self.modules, "model", None)
+
+        seed = getattr(self.hparams, "seed", 0)
+        self.rng = jax.random.PRNGKey(seed)
+        self.params = None
+        self.opt_state = None
+        self.optimizer = None
+        self.step = 0                     # batches this epoch
+        self.optimizer_step = 0           # global optimizer steps
+        self.nonfinite_count = 0
+        self.avg_train_loss = 0.0
+        self.train_sampler = None
+        self._jit_train_step = None
+        self._jit_eval_step = None
+        self._last_ckpt_time = time.time()
+
+        if self.checkpointer is not None:
+            self.checkpointer.add_recoverable("brain", _BrainState(self))
+            # mirror the reference's recoverables block (scheduler+counter,
+            # conformer-t_scratch.yaml:309-315)
+            sched = getattr(self.hparams, "noam_scheduler", None)
+            if sched is not None and hasattr(sched, "save"):
+                self.checkpointer.add_recoverable("scheduler", sched)
+            counter = getattr(self.hparams, "epoch_counter", None)
+            if counter is not None and hasattr(counter, "save"):
+                self.checkpointer.add_recoverable("counter", counter)
+
+    # ================================================== subclass surface
+    def compute_forward(self, params, batch, stage, rng):
+        """Pure forward (jit-traced): batch dict -> predictions."""
+        raise NotImplementedError
+
+    def compute_objectives(self, predictions, batch, stage):
+        """Pure loss (jit-traced): predictions + batch -> scalar loss."""
+        raise NotImplementedError
+
+    def batch_to_arrays(self, batch):
+        """PaddedBatch -> dict of numpy arrays for the jitted step."""
+        raise NotImplementedError
+
+    def on_stage_start(self, stage, epoch=None):
+        pass
+
+    def on_stage_end(self, stage, stage_loss, epoch=None):
+        pass
+
+    def on_fit_start(self):
+        pass
+
+    def on_fit_batch_start(self, batch, should_step):
+        pass
+
+    def on_fit_batch_end(self, batch, outputs, loss, should_step):
+        pass
+
+    def on_evaluate_start(self, max_key=None, min_key=None):
+        if self.checkpointer is not None:
+            self.checkpointer.recover_if_possible(min_key=min_key,
+                                                  max_key=max_key)
+
+    def evaluate_batch_extra(self, batch, arrays, predictions, stage):
+        """Host-side per-eval-batch hook (decoding, metrics)."""
+
+    # ==================================================== initialization
+    def make_example_batch(self):
+        """Tiny dummy batch for parameter init; subclass provides."""
+        raise NotImplementedError
+
+    def _ensure_initialized(self):
+        if self.params is not None:
+            return
+        example = self.make_example_batch()
+        init_rng, self.rng = jax.random.split(self.rng)
+        self.params = self._init_params(init_rng, example)
+        if hasattr(self, "_restored"):
+            from flax import serialization
+            self.params = serialization.from_state_dict(
+                self.params, self._restored["params"])
+            del self._restored
+        n_params = sum(x.size for x in jax.tree.leaves(self.params))
+        logger.info("%.1fM trainable parameters initialized",
+                    n_params / 1e6)
+        if self.mesh is not None:
+            from tsasr_tpu.parallel.mesh import param_shardings
+            shardings = param_shardings(self.params, self.mesh)
+            self.params = jax.tree.map(jax.device_put, self.params,
+                                       shardings)
+
+    def _init_params(self, rng, example_batch):
+        raise NotImplementedError
+
+    def init_optimizers(self):
+        if self.opt_class is None:
+            return
+        schedule = self._lr_schedule()
+        base = self.opt_class(learning_rate=schedule) if schedule \
+            else self.opt_class()
+        tx = optax.chain(
+            optax.clip_by_global_norm(self.max_grad_norm), base)
+        accum = int(self.grad_accumulation_factor)
+        if accum > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=accum)
+        self.optimizer = tx
+        if self.opt_state is None:
+            self.opt_state = self.optimizer.init(self.params)
+
+    def _lr_schedule(self):
+        """Noam (or any) schedule from hparams; None = constant lr."""
+        sched = getattr(self.hparams, "noam_scheduler", None)
+        enabled = getattr(self.hparams, "enable_scheduler", True)
+        if sched is not None and enabled:
+            return sched.as_schedule_fn()
+        return None
+
+    def current_lr(self):
+        sched = self._lr_schedule()
+        if sched is None:
+            return getattr(self.opt_class, "base_lr", 0.0) \
+                if self.opt_class else 0.0
+        return float(sched(max(self.optimizer_step, 1)))
+
+    # ======================================================= jitted steps
+    def _build_train_step(self):
+        accum = float(self.grad_accumulation_factor)
+
+        def train_step(params, opt_state, batch, rng):
+            def loss_fn(p):
+                predictions = self.compute_forward(p, batch, Stage.TRAIN,
+                                                   rng)
+                loss = self.compute_objectives(predictions, batch,
+                                               Stage.TRAIN)
+                return loss / accum
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            loss = loss * accum
+            finite = jnp.isfinite(loss)
+            # skip nonfinite micro-batches (reference check_gradients)
+            grads = jax.tree.map(
+                lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+            grad_norm = optax.global_norm(grads)
+            updates, new_opt_state = self.optimizer.update(
+                grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_opt_state, loss, grad_norm, finite
+
+        return jax.jit(train_step, donate_argnums=(0, 1))
+
+    def _build_eval_step(self):
+        def eval_step(params, batch, stage_name):
+            stage = Stage.VALID if stage_name == 0 else Stage.TEST
+            predictions = self.compute_forward(
+                params, batch, stage, jax.random.PRNGKey(0))
+            loss = self.compute_objectives(predictions, batch, stage)
+            return loss, predictions
+
+        return jax.jit(eval_step, static_argnums=(2,))
+
+    def _put_batch(self, arrays):
+        if self.mesh is not None:
+            from tsasr_tpu.parallel.mesh import shard_batch
+            return shard_batch(arrays, self.mesh)
+        return {k: jnp.asarray(v) for k, v in arrays.items()}
+
+    # =========================================================== fitting
+    def fit_batch(self, batch):
+        arrays = self._put_batch(self.batch_to_arrays(batch))
+        step_rng = jax.random.fold_in(self.rng, self.optimizer_step * 131071
+                                      + self.step)
+        self.params, self.opt_state, loss, grad_norm, finite = \
+            self._jit_train_step(self.params, self.opt_state, arrays,
+                                 step_rng)
+        should_step = (self.step % self.grad_accumulation_factor) == 0
+        if should_step:
+            self.optimizer_step += 1
+            sched = getattr(self.hparams, "noam_scheduler", None)
+            if sched is not None and \
+                    getattr(self.hparams, "enable_scheduler", True):
+                sched.n_steps = self.optimizer_step
+                sched.current_lr = self.current_lr()
+        loss_val = float(loss)
+        if not np.isfinite(loss_val):
+            self.nonfinite_count += 1
+            logger.warning("Loss is %s for batch %d (patience %d/%d)",
+                           loss_val, self.step, self.nonfinite_count,
+                           self.nonfinite_patience)
+            if self.nonfinite_count > self.nonfinite_patience:
+                raise ValueError(
+                    "Loss is not finite and patience is exhausted")
+            loss_val = self.avg_train_loss
+        self.last_grad_norm = float(grad_norm)
+        return loss_val
+
+    def _update_average(self, loss, avg_loss):
+        if np.isfinite(loss):
+            avg_loss -= avg_loss / self.step
+            avg_loss += loss / self.step
+        return avg_loss
+
+    def fit(self, epoch_counter, train_set, valid_set=None,
+            progressbar=None, train_loader_kwargs=None,
+            valid_loader_kwargs=None):
+        if not isinstance(train_set, (SaveableDataLoader, LoopedLoader)):
+            train_set = SaveableDataLoader(train_set,
+                                           **(train_loader_kwargs or {}))
+        if valid_set is not None and not isinstance(
+                valid_set, (SaveableDataLoader, LoopedLoader)):
+            valid_set = SaveableDataLoader(valid_set,
+                                           **(valid_loader_kwargs or {}))
+        self.train_loader = train_set
+
+        self._ensure_initialized()
+        self.on_fit_start()
+        self.init_optimizers()
+        if self._jit_train_step is None:
+            self._jit_train_step = self._build_train_step()
+        if self.checkpointer is not None:
+            self.checkpointer.add_recoverable("dataloader", train_set)
+            self.checkpointer.recover_if_possible()
+        if progressbar is None:
+            progressbar = not self.noprogressbar
+
+        if self.test_only:
+            logger.info("test_only: skipping training")
+            return
+
+        for epoch in epoch_counter:
+            self._fit_train(train_set, epoch, progressbar)
+            self._fit_valid(valid_set, epoch, progressbar)
+            if self.debug and epoch >= self.debug_epochs:
+                logger.info("Debug mode: stopping after %d epochs", epoch)
+                break
+            if self.optimizer_step_limit is not None and \
+                    self.optimizer_step >= self.optimizer_step_limit:
+                logger.info("Reached optimizer step limit (%d)",
+                            self.optimizer_step_limit)
+                break
+
+    def _fit_train(self, train_set, epoch, progressbar):
+        self.on_stage_start(Stage.TRAIN, epoch)
+        if hasattr(train_set, "set_epoch"):
+            train_set.set_epoch(epoch)
+        self.step = 0
+        self.avg_train_loss = 0.0
+        iterator = train_set
+        if progressbar and if_main_process():
+            from tqdm import tqdm
+            iterator = tqdm(train_set, dynamic_ncols=True,
+                            desc=f"Epoch {epoch}")
+        for batch in iterator:
+            self.step += 1
+            should_step = (self.step %
+                           self.grad_accumulation_factor) == 0
+            self.on_fit_batch_start(batch, should_step)
+            loss = self.fit_batch(batch)
+            self.avg_train_loss = self._update_average(
+                loss, self.avg_train_loss)
+            self.on_fit_batch_end(batch, None, loss, should_step)
+            if progressbar and if_main_process():
+                iterator.set_postfix(train_loss=f"{self.avg_train_loss:.3f}")
+            self._maybe_intra_epoch_ckpt()
+            if self.debug and self.step >= self.debug_batches:
+                break
+            if self.optimizer_step_limit is not None and \
+                    self.optimizer_step >= self.optimizer_step_limit:
+                break
+        self.on_stage_end(Stage.TRAIN, self.avg_train_loss, epoch)
+        self.train_stats_loss = self.avg_train_loss
+        self.step = 0
+
+    def _maybe_intra_epoch_ckpt(self):
+        if self.checkpointer is None:
+            return
+        by_minutes = self.ckpt_interval_minutes and (
+            time.time() - self._last_ckpt_time
+            >= self.ckpt_interval_minutes * 60)
+        by_steps = self.ckpt_interval_steps and \
+            self.optimizer_step > 0 and \
+            self.optimizer_step % self.ckpt_interval_steps == 0 and \
+            (self.step % self.grad_accumulation_factor) == 0
+        if by_minutes or by_steps:
+            self.checkpointer.save_and_keep_only(
+                meta={"unfinished_epoch": True}, end_of_epoch=False,
+                num_to_keep=1,
+                importance_key=lambda c: (
+                    c.meta.get("unfinished_epoch", False), c.unixtime))
+            self._last_ckpt_time = time.time()
+
+    def _fit_valid(self, valid_set, epoch, progressbar):
+        if valid_set is None:
+            return
+        self.on_stage_start(Stage.VALID, epoch)
+        if self._jit_eval_step is None:
+            self._jit_eval_step = self._build_eval_step()
+        avg_loss = 0.0
+        self.step = 0
+        iterator = valid_set
+        if progressbar and if_main_process():
+            from tqdm import tqdm
+            iterator = tqdm(valid_set, dynamic_ncols=True, desc="Valid")
+        for batch in iterator:
+            self.step += 1
+            loss = self.evaluate_batch(batch, Stage.VALID)
+            avg_loss = self._update_average(loss, avg_loss)
+            if self.debug and self.step >= self.debug_batches:
+                break
+        self.step = 0
+        self.on_stage_end(Stage.VALID, avg_loss, epoch)
+
+    def evaluate_batch(self, batch, stage):
+        arrays = self._put_batch(self.batch_to_arrays(batch))
+        loss, predictions = self._jit_eval_step(
+            self.params, arrays, 0 if stage == Stage.VALID else 1)
+        self.evaluate_batch_extra(batch, arrays, predictions, stage)
+        return float(loss)
+
+    def evaluate(self, test_set, max_key=None, min_key=None,
+                 progressbar=None, test_loader_kwargs=None):
+        if not isinstance(test_set, (SaveableDataLoader, LoopedLoader)):
+            test_set = SaveableDataLoader(test_set,
+                                          **(test_loader_kwargs or {}))
+        self._ensure_initialized()
+        if progressbar is None:
+            progressbar = not self.noprogressbar
+        self.on_evaluate_start(max_key=max_key, min_key=min_key)
+        self.on_stage_start(Stage.TEST, epoch=None)
+        if self._jit_eval_step is None:
+            self._jit_eval_step = self._build_eval_step()
+        avg_loss = 0.0
+        self.step = 0
+        iterator = test_set
+        if progressbar and if_main_process():
+            from tqdm import tqdm
+            iterator = tqdm(test_set, dynamic_ncols=True, desc="Test")
+        for batch in iterator:
+            self.step += 1
+            loss = self.evaluate_batch(batch, Stage.TEST)
+            avg_loss = self._update_average(loss, avg_loss)
+            if self.debug and self.step >= self.debug_batches:
+                break
+        self.step = 0
+        self.on_stage_end(Stage.TEST, avg_loss, epoch=None)
+        return avg_loss
+
+
+class _BrainState:
+    """Checkpoint adapter for the Brain's train state."""
+
+    def __init__(self, brain):
+        self.brain = brain
+
+    def save(self, path):
+        from flax import serialization
+        payload = {
+            "params": self.brain.params,
+            "opt_state": self.brain.opt_state,
+            "optimizer_step": self.brain.optimizer_step,
+        }
+        state_dict = serialization.to_state_dict(payload)
+        with open(path, "wb") as f:
+            f.write(serialization.msgpack_serialize(
+                jax.tree.map(np.asarray, state_dict)))
+
+    def load(self, path, end_of_epoch=True):
+        from flax import serialization
+        with open(path, "rb") as f:
+            restored = serialization.msgpack_restore(f.read())
+        brain = self.brain
+        brain.optimizer_step = int(restored["optimizer_step"])
+        if brain.params is not None:
+            brain.params = serialization.from_state_dict(
+                brain.params, restored["params"])
+            if brain.opt_state is not None:
+                brain.opt_state = serialization.from_state_dict(
+                    brain.opt_state, restored["opt_state"])
+            else:
+                brain._restored_opt_state = restored["opt_state"]
+        else:
+            brain._restored = restored

@@ -1,0 +1,255 @@
+"""Named-recoverable checkpointing with keep-N-best retention.
+
+Design replicated from the reference ``Checkpointer``
+(``vendor/speechbrain/speechbrain/utils/checkpoints.py:405-1201``),
+re-based on JAX pytrees (SURVEY.md §5.4):
+
+1. a registry of *named recoverables*, each saved/loaded through a hook;
+2. checkpoint = directory ``CKPT+<timestamp>`` with one file per
+   recoverable + ``meta.yaml`` (unixtime + custom keys, e.g. WER);
+3. retention keyed on metrics: ``save_and_keep_only(min_keys=["WER"],
+   num_to_keep=10)``;
+4. ``recover_if_possible(min_key/max_key)`` picks newest / best;
+5. ``end_of_epoch`` flag threaded to loaders so mid-epoch resume works;
+6. multi-host discipline: only process 0 writes, all processes read.
+
+Recoverable protocol (duck-typed, checked in this order):
+- ``obj.save(path)`` + ``obj.load(path, end_of_epoch)``; or
+- ``obj.save_position()`` + ``obj.load_position(state, end_of_epoch)``
+  (loaders); or
+- a JAX pytree (dict/list/arrays) — serialized with
+  ``flax.serialization``; register as a dict entry whose value is a
+  zero-arg getter + setter pair via ``PytreeRecoverable``.
+"""
+
+import json
+import os
+import shutil
+import time
+
+import yaml
+
+CKPT_PREFIX = "CKPT"
+META_FILE = "CKPT.yaml"
+
+
+def _is_main_process():
+    try:
+        import jax
+        return jax.process_index() == 0
+    except Exception:  # noqa: BLE001
+        return True
+
+
+class PytreeRecoverable:
+    """Adapter making a get/set pytree pair checkpointable."""
+
+    def __init__(self, getter, setter):
+        self.getter = getter
+        self.setter = setter
+
+    def save(self, path):
+        from flax import serialization
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(self.getter()))
+
+    def load(self, path, end_of_epoch=True):
+        from flax import serialization
+        with open(path, "rb") as f:
+            data = f.read()
+        self.setter(serialization.from_bytes(self.getter(), data))
+
+
+class Checkpoint:
+    """Handle to one on-disk checkpoint directory."""
+
+    def __init__(self, path):
+        self.path = path
+        meta_path = os.path.join(path, META_FILE)
+        with open(meta_path, encoding="utf-8") as f:
+            self.meta = yaml.safe_load(f)
+
+    @property
+    def unixtime(self):
+        return self.meta.get("unixtime", 0.0)
+
+    def paramfile(self, name):
+        return os.path.join(self.path, f"{name}.ckpt")
+
+    def __repr__(self):
+        return f"Checkpoint({self.path})"
+
+
+class Checkpointer:
+    """Registry + save/load/retention orchestration."""
+
+    def __init__(self, checkpoints_dir, recoverables=None,
+                 allow_partial_load=False):
+        self.checkpoints_dir = str(checkpoints_dir)
+        self.recoverables = {}
+        self.allow_partial_load = allow_partial_load
+        for name, obj in (recoverables or {}).items():
+            self.add_recoverable(name, obj)
+
+    def add_recoverable(self, name, obj):
+        if not (hasattr(obj, "save") or hasattr(obj, "save_position")):
+            raise TypeError(
+                f"Recoverable '{name}' has neither save() nor "
+                f"save_position(); wrap pytrees in PytreeRecoverable")
+        self.recoverables[name] = obj
+
+    # --------------------------------------------------------------- save
+    def save_checkpoint(self, meta=None, name=None, end_of_epoch=True):
+        """Save all recoverables into a new checkpoint dir; returns it
+        (None on non-main processes)."""
+        if not _is_main_process():
+            return None
+        if name is None:
+            stamp = f"{time.time():.4f}".replace(".", "+")
+            name = f"{CKPT_PREFIX}+{stamp}"
+        path = os.path.join(self.checkpoints_dir, name)
+        os.makedirs(path, exist_ok=True)
+        for rec_name, obj in self.recoverables.items():
+            target = os.path.join(path, f"{rec_name}.ckpt")
+            if hasattr(obj, "save"):
+                obj.save(target)
+            else:
+                with open(target, "w", encoding="utf-8") as f:
+                    json.dump(obj.save_position(), f)
+        full_meta = {"unixtime": time.time(),
+                     "end-of-epoch": bool(end_of_epoch)}
+        full_meta.update(meta or {})
+        with open(os.path.join(path, META_FILE), "w",
+                  encoding="utf-8") as f:
+            yaml.safe_dump(_plain(full_meta), f)
+        return Checkpoint(path)
+
+    def save_and_keep_only(self, meta=None, name=None, num_to_keep=1,
+                           min_keys=None, max_keys=None,
+                           keep_recent=False, end_of_epoch=True,
+                           importance_key=None):
+        """Save, then delete all but the N best checkpoints per key."""
+        ckpt = self.save_checkpoint(meta=meta, name=name,
+                                    end_of_epoch=end_of_epoch)
+        self.delete_checkpoints(num_to_keep=num_to_keep,
+                                min_keys=min_keys, max_keys=max_keys,
+                                keep_recent=keep_recent,
+                                importance_key=importance_key)
+        return ckpt
+
+    # --------------------------------------------------------------- find
+    def list_checkpoints(self):
+        if not os.path.isdir(self.checkpoints_dir):
+            return []
+        out = []
+        for entry in sorted(os.listdir(self.checkpoints_dir)):
+            path = os.path.join(self.checkpoints_dir, entry)
+            if entry.startswith(CKPT_PREFIX) and \
+                    os.path.isfile(os.path.join(path, META_FILE)):
+                out.append(Checkpoint(path))
+        return out
+
+    def find_checkpoint(self, min_key=None, max_key=None,
+                        importance_key=None):
+        ckpts = self.list_checkpoints()
+        if not ckpts:
+            return None
+        key_fn = _importance_fn(min_key, max_key, importance_key)
+        return max(ckpts, key=key_fn)
+
+    def find_checkpoints(self, min_key=None, max_key=None,
+                         importance_key=None, max_num_checkpoints=None):
+        ckpts = self.list_checkpoints()
+        key_fn = _importance_fn(min_key, max_key, importance_key)
+        ckpts.sort(key=key_fn, reverse=True)
+        if max_num_checkpoints is not None:
+            ckpts = ckpts[:max_num_checkpoints]
+        return ckpts
+
+    # --------------------------------------------------------------- load
+    def load_checkpoint(self, checkpoint):
+        end_of_epoch = checkpoint.meta.get("end-of-epoch", True)
+        for name, obj in self.recoverables.items():
+            source = checkpoint.paramfile(name)
+            if not os.path.isfile(source):
+                if self.allow_partial_load:
+                    continue
+                raise FileNotFoundError(
+                    f"Checkpoint {checkpoint.path} is missing recoverable "
+                    f"'{name}'")
+            if hasattr(obj, "load"):
+                obj.load(source, end_of_epoch=end_of_epoch)
+            else:
+                with open(source, encoding="utf-8") as f:
+                    obj.load_position(json.load(f),
+                                      end_of_epoch=end_of_epoch)
+        return checkpoint
+
+    def recover_if_possible(self, min_key=None, max_key=None,
+                            importance_key=None):
+        ckpt = self.find_checkpoint(min_key, max_key, importance_key)
+        if ckpt is not None:
+            self.load_checkpoint(ckpt)
+        return ckpt
+
+    # ------------------------------------------------------------- delete
+    def delete_checkpoints(self, num_to_keep=1, min_keys=None,
+                           max_keys=None, keep_recent=False,
+                           importance_key=None):
+        """Keep the N best per key (plus optionally the N most recent)."""
+        if not _is_main_process():
+            return
+        ckpts = self.list_checkpoints()
+        protected = set()
+        key_fns = []
+        if importance_key is not None:
+            key_fns.append(importance_key)
+        if keep_recent or not (min_keys or max_keys or importance_key):
+            key_fns.append(_importance_fn(None, None, None))
+        for key in (min_keys or []):
+            key_fns.append(_importance_fn(key, None, None))
+        for key in (max_keys or []):
+            key_fns.append(_importance_fn(None, key, None))
+        for key_fn in key_fns:
+            ranked = sorted(ckpts, key=key_fn, reverse=True)
+            protected.update(c.path for c in ranked[:num_to_keep])
+        for ckpt in ckpts:
+            if ckpt.path not in protected:
+                shutil.rmtree(ckpt.path, ignore_errors=True)
+
+
+def _importance_fn(min_key, max_key, importance_key):
+    if importance_key is not None:
+        return importance_key
+    if min_key is not None:
+        return lambda c: (-c.meta.get(min_key, float("inf")), c.unixtime)
+    if max_key is not None:
+        return lambda c: (c.meta.get(max_key, float("-inf")), c.unixtime)
+    return lambda c: c.unixtime
+
+
+def _plain(obj):
+    """Convert numpy/JAX scalars to plain Python for YAML."""
+    import numpy as np
+    if isinstance(obj, dict):
+        return {k: _plain(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_plain(v) for v in obj]
+    if isinstance(obj, (np.generic,)):
+        return obj.item()
+    if hasattr(obj, "item") and getattr(obj, "ndim", None) == 0:
+        return obj.item()
+    return obj
+
+
+def average_checkpoints(checkpoints, name):
+    """Average a recoverable's pytree across checkpoints (weight
+    averaging; capability analogous to the reference's
+    ``average_checkpoints``, ``utils/checkpoints.py``)."""
+    import jax
+    from flax import serialization
+    loaded = []
+    for ckpt in checkpoints:
+        with open(ckpt.paramfile(name), "rb") as f:
+            loaded.append(serialization.msgpack_restore(f.read()))
+    return jax.tree.map(lambda *xs: sum(xs) / len(xs), *loaded)
