@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Benchmark: full training-step throughput of the flagship TS-ASR model.
+
+Measures samples/sec/chip for the scratch-variant Conformer transducer
+(12-layer d256 encoder + 6-layer speaker encoder + LSTM predictor + RNN-T
+loss + AdamW update) on a realistic dynamic-batch shape (the recipe packs
+<= 50 s of audio per batch per rank, conformer-t_scratch.yaml:64-73).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); the
+denominator is a documented engineering estimate of the PyTorch recipe's
+per-GPU throughput on its 8xV100 setup (~8 samples/s/GPU for ~4 s
+utterances at batch*accum that fills 50 s/rank: V100 fp32/amp Conformer-T
+recipes of this size typically sustain ~0.5-1x real-time x batch).
+Driver-recorded BENCH_r{N}.json values supersede this estimate across
+rounds.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_SAMPLES_PER_SEC_PER_CHIP = 8.0   # documented estimate, see above
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tsasr_tpu.models.transducer import TSTransducer, TSTransducerConfig
+    from tsasr_tpu.ops import Fbank, input_normalization
+    from tsasr_tpu.ops.rnnt_loss import rnnt_loss
+    from tsasr_tpu.training.schedulers import noam_schedule
+
+    # realistic 2-mix bucket: 12 x 4 s mixture (48 s audio/batch),
+    # 5 s enrollments, ~60 char targets
+    B, mix_sec, enr_sec, U = 12, 4, 5, 60
+    sr = 16000
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.normal(size=(B, mix_sec * sr)) * 0.1, jnp.float32)
+    enroll = jnp.asarray(rng.normal(size=(B, enr_sec * sr)) * 0.1,
+                         jnp.float32)
+    rel = jnp.ones((B,), jnp.float32)
+    tokens_bos = jnp.asarray(rng.integers(1, 29, size=(B, U + 1)),
+                             jnp.int32)
+    tokens_bos = tokens_bos.at[:, 0].set(0)
+
+    cfg = TSTransducerConfig(injection_mode="cat")
+    model = TSTransducer(cfg)
+    fbank = Fbank(sample_rate=sr, n_fft=512, n_mels=80, win_length=32.0)
+
+    def features(w, r):
+        return input_normalization(fbank(w), r)
+
+    params = model.init(jax.random.PRNGKey(0), features(wav, rel), rel,
+                        tokens_bos, features(enroll, rel), rel)
+    tx = optax.chain(optax.clip_by_global_norm(5.0),
+                     optax.adamw(noam_schedule(1e-3, 10000)))
+    opt_state = tx.init(params)
+
+    def train_step(params, opt_state, wav, enroll, rel, tokens_bos):
+        def loss_fn(p):
+            logits, _ = model.apply(p, features(wav, rel), rel, tokens_bos,
+                                    features(enroll, rel), rel,
+                                    deterministic=True)
+            tokens = tokens_bos[:, 1:]
+            t_lens = jnp.round(rel * logits.shape[1]).astype(jnp.int32)
+            u_lens = jnp.full((B,), U, jnp.int32)
+            return rnnt_loss(logits, tokens, t_lens, u_lens,
+                             reduction="mean")
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    step = jax.jit(train_step, donate_argnums=(0, 1))
+
+    # warmup / compile
+    params, opt_state, loss = step(params, opt_state, wav, enroll, rel,
+                                   tokens_bos)
+    loss.block_until_ready()
+
+    n_steps = 10
+    start = time.perf_counter()
+    for _ in range(n_steps):
+        params, opt_state, loss = step(params, opt_state, wav, enroll,
+                                       rel, tokens_bos)
+    loss.block_until_ready()
+    elapsed = time.perf_counter() - start
+
+    n_chips = max(len(jax.devices()), 1)
+    samples_per_sec_per_chip = (B * n_steps) / elapsed / n_chips
+    print(json.dumps({
+        "metric": "train_samples_per_sec_per_chip",
+        "value": round(samples_per_sec_per_chip, 3),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(samples_per_sec_per_chip
+                             / BASELINE_SAMPLES_PER_SEC_PER_CHIP, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
