@@ -107,8 +107,12 @@ def stft(x, sample_rate=16000, win_length=25.0, hop_length=10.0, n_fft=400,
         spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
         return jnp.real(spec), jnp.imag(spec)
     cos_m, sin_m = _dft_matrices(n_fft)
-    re = jnp.matmul(frames, jnp.asarray(cos_m))
-    im = jnp.matmul(frames, jnp.asarray(sin_m))
+    # full f32 on the MXU: feature values feed log-compression, where
+    # bf16 matmul noise would be audible in the normalized features
+    re = jnp.matmul(frames, jnp.asarray(cos_m),
+                    precision=jax.lax.Precision.HIGHEST)
+    im = jnp.matmul(frames, jnp.asarray(sin_m),
+                    precision=jax.lax.Precision.HIGHEST)
     return re, im
 
 
@@ -224,7 +228,8 @@ class Fbank:
                       hop_length=c.hop_length, n_fft=c.n_fft,
                       use_fft=c.use_fft)
         mag = spectral_magnitude(re, im, power=c.power)
-        fbanks = jnp.matmul(mag, jnp.asarray(self._mel))
+        fbanks = jnp.matmul(mag, jnp.asarray(self._mel),
+                            precision=jax.lax.Precision.HIGHEST)
         if c.log_mel:
             fbanks = amplitude_to_db(fbanks, top_db=c.top_db)
         return fbanks
