@@ -27,10 +27,18 @@ def read_audio(path):
     """Read an audio file -> (float32 waveform (L,) mono-ized, sample_rate).
 
     Multi-channel files return channel 0, matching the reference pipeline
-    (``train_librispeechmix_scratch.py:347``: ``sig[0]``).
+    (``train_librispeechmix_scratch.py:347``: ``sig[0]``). Dispatches to
+    the native C++ decoder when built.
     """
     ext = os.path.splitext(path)[1].lower()
     if ext == ".wav":
+        try:
+            from tsasr_tpu import native
+            result = native.wav_read(path)
+            if result is not None:
+                return result
+        except ImportError:
+            pass
         return _read_wav(path)
     if ext == ".flac":
         try:
@@ -115,9 +123,19 @@ def _sinc_kernel(orig_freq, new_freq, lowpass_filter_width=6,
 
 
 def resample(waveform, orig_freq, new_freq):
-    """Windowed-sinc polyphase resampling of a (L,) float32 waveform."""
+    """Windowed-sinc polyphase resampling of a (L,) float32 waveform.
+
+    Dispatches to the native C++ resampler when built (same kernel math).
+    """
     if int(orig_freq) == int(new_freq):
         return np.asarray(waveform, np.float32)
+    try:
+        from tsasr_tpu import native
+        result = native.resample(waveform, orig_freq, new_freq)
+        if result is not None:
+            return result
+    except ImportError:
+        pass
     kernels, width, of, nf = _sinc_kernel(int(orig_freq), int(new_freq))
     L = len(waveform)
     target_len = int(math.ceil(nf * L / of))

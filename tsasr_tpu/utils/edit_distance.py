@@ -14,7 +14,34 @@ EDIT_SYMBOLS = {"eq": "=", "sub": "S", "ins": "I", "del": "D"}
 
 
 def edit_ops(ref, hyp):
-    """Levenshtein alignment: list of (op, ref_idx, hyp_idx)."""
+    """Levenshtein alignment: list of (op, ref_idx, hyp_idx).
+
+    Dispatches to the native C++ kernel when built (the per-utterance
+    O(N*M) DP is the eval-time host hot loop); the Python DP below is the
+    reference implementation and fallback.
+    """
+    native_result = _native_edit_ops(ref, hyp)
+    if native_result is not None:
+        return native_result
+    return _edit_ops_py(ref, hyp)
+
+
+def _native_edit_ops(ref, hyp):
+    try:
+        from tsasr_tpu import native
+    except ImportError:
+        return None
+    if native.get_lib() is None:
+        return None
+    vocab = {}
+    for token in list(ref) + list(hyp):
+        vocab.setdefault(token, len(vocab))
+    out = native.edit_ops_ids([vocab[t] for t in ref],
+                              [vocab[t] for t in hyp])
+    return out[0] if out is not None else None
+
+
+def _edit_ops_py(ref, hyp):
     n, m = len(ref), len(hyp)
     # DP table of costs, and backtrace of ops
     cost = [[0] * (m + 1) for _ in range(n + 1)]
