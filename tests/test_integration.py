@@ -1,0 +1,131 @@
+"""Integration tests: tiny-overfit and a full debug-mode experiment.
+
+Mirrors the reference's integration strategy (SURVEY.md §4.2/§4.4): each
+mini-task is a full miniature experiment on bundled tiny audio that must
+overfit / run end to end; debug mode (2 batches / 2 epochs) is the
+framework's built-in "fake run" harness.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def synth_data(tmp_path_factory):
+    root = tmp_path_factory.mktemp("lsmix")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.make_synthetic_dataset import make_dataset
+    make_dataset(str(root), n_mix=6, n_speakers=3, utts_per_speaker=4,
+                 min_dur=0.8, max_dur=1.6)
+    return str(root)
+
+
+class TestOverfitTiny:
+    def test_transducer_overfits_fixed_batch(self, rng):
+        """Train the full TS-transducer stack (features -> loss) on one
+        fixed tiny batch; the loss must collapse (loss-goes-down oracle
+        at the recipe level)."""
+        import optax
+        from tsasr_tpu.models.transducer import (
+            TSTransducer,
+            TSTransducerConfig,
+        )
+        from tsasr_tpu.ops import Fbank, input_normalization
+        from tsasr_tpu.ops.rnnt_loss import rnnt_loss
+
+        cfg = TSTransducerConfig(
+            vocab_size=8, encoder_num_layers=1, speaker_encoder_layers=1,
+            d_model=32, nhead=4, d_ffn=64, joint_dim=48,
+            decoder_neurons=24, dropout=0.0, injection_mode="cat")
+        model = TSTransducer(cfg)
+        fbank = Fbank(sample_rate=16000, n_fft=512, n_mels=80,
+                      win_length=32.0)
+
+        wav = jnp.asarray(rng.normal(size=(2, 8000)) * 0.1, jnp.float32)
+        enroll = jnp.asarray(rng.normal(size=(2, 8000)) * 0.1,
+                             jnp.float32)
+        rel = jnp.ones(2)
+        tokens = jnp.asarray(rng.integers(1, 8, size=(2, 5)), jnp.int32)
+        tokens_bos = jnp.pad(tokens, ((0, 0), (1, 0)))
+
+        def features(w):
+            return input_normalization(fbank(w), rel)
+
+        params = model.init(jax.random.PRNGKey(0), features(wav), rel,
+                            tokens_bos, features(enroll), rel)
+        tx = optax.adam(3e-3)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(params, opt_state):
+            def loss_fn(p):
+                logits, _ = model.apply(p, features(wav), rel,
+                                        tokens_bos, features(enroll),
+                                        rel, deterministic=True)
+                t_lens = jnp.full((2,), logits.shape[1], jnp.int32)
+                u_lens = jnp.full((2,), 5, jnp.int32)
+                return rnnt_loss(logits, tokens, t_lens, u_lens,
+                                 use_pallas=False)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        losses = []
+        for _ in range(60):
+            params, opt_state, loss = step(params, opt_state)
+            losses.append(float(loss))
+        assert losses[-1] < 0.3 * losses[0], losses[::10]
+
+
+class TestDebugExperiment:
+    def test_none_variant_debug_run(self, synth_data, tmp_path,
+                                    monkeypatch):
+        """Full CLI experiment in debug mode on synthetic data: train 2
+        epochs x 2 batches, validate with greedy search, test, write
+        train_log + wer file + checkpoints."""
+        from tsasr_tpu.recipes.librispeechmix import run_experiment
+
+        monkeypatch.chdir(tmp_path)
+        hparams = os.path.join(os.path.dirname(__file__), "..",
+                               "hparams", "LibriSpeechMix",
+                               "conformer-t_none.yaml")
+        # char vocab must equal found chars + 1 (SentencePiece-char
+        # semantics); count from the synthetic annotations
+        chars = set()
+        for split in ("train-2mix", "dev-clean-2mix", "test-clean-2mix"):
+            with open(os.path.join(synth_data, f"{split}.jsonl")) as f:
+                for line in f:
+                    for text in json.loads(line)["texts"]:
+                        chars.update("▁" + text.replace(" ", "▁"))
+        vocab_size = len(chars) + 1
+        brain = run_experiment(variant="none", argv=[
+            hparams, "--data_folder", synth_data,
+            "--debug", "--noprogressbar",
+            "--vocab_size", str(vocab_size),
+            "--encoder_num_layers", "1", "--d_ffn", "64",
+            "--d_model", "32", "--nhead", "4",
+            "--decoder_neurons", "24", "--joint_dim", "48",
+            "--num_epochs", "2", "--beam_size", "1",
+            "--valid_search_freq", "1",
+        ])
+        out_dir = "results/LibriSpeechMix/Conformer-T_None/0"
+        log = open(os.path.join(out_dir, "train_log.txt")).read()
+        assert "epoch: 1" in log and "valid WER" in log
+        assert "Epoch loaded" in log
+        wer_file = os.path.join(out_dir, "wer_test-clean-2mix.txt")
+        assert os.path.exists(wer_file)
+        assert open(wer_file).read().startswith("%WER")
+        ckpts = [d for d in os.listdir(os.path.join(out_dir, "save"))
+                 if d.startswith("CKPT")]
+        assert ckpts
+        # resolved hyperparams + env snapshot exist
+        assert os.path.exists(os.path.join(out_dir, "hyperparams.yaml"))
+        assert os.path.exists(os.path.join(out_dir, "env.log"))

@@ -25,3 +25,13 @@ from tsasr_tpu.ops.rnnt_loss import (  # noqa: F401
     rnnt_loss_reference,
     transducer_loss,
 )
+from tsasr_tpu.ops.losses import (  # noqa: F401
+    PitWrapper,
+    bce_loss,
+    ctc_loss,
+    kldiv_loss,
+    l1_loss,
+    mse_loss,
+    nll_loss,
+)
+from tsasr_tpu.ops.normalize import InputNormalization  # noqa: F401

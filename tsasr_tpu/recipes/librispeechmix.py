@@ -420,6 +420,16 @@ def run_experiment(variant, argv=None):
     else:
         pretrainer = None
 
+    # bf16 compute: rebuild the model with a bfloat16 dtype (params and
+    # the optimizer stay f32; the reference's autocast equivalent)
+    precision = run_opts.get("precision", hparams.get("precision"))
+    if precision == "bf16" and "model_config" in hparams:
+        import dataclasses
+        from tsasr_tpu.models.transducer import TSTransducer
+        cfg16 = dataclasses.replace(hparams["model_config"],
+                                    dtype=jnp.bfloat16)
+        hparams["model"] = TSTransducer(cfg16)
+
     mesh = _make_mesh_from_opts(run_opts)
     brain = TSASRBrain(
         modules={"model": hparams["model"]},
@@ -428,6 +438,12 @@ def run_experiment(variant, argv=None):
         mesh=mesh, variant=variant, tokenizer=tokenizer)
     if pretrainer is not None:
         brain._pretrainer = pretrainer
+
+    if run_opts.get("profile"):
+        from tsasr_tpu.utils.profiling import Profiler, profile
+        profile(brain, Profiler(
+            run_opts.get("profile_dir")
+            or os.path.join(hparams["output_folder"], "profiler")))
 
     train_kwargs = build_dataloader_kwargs(hparams, train_data, "train")
     valid_kwargs = build_dataloader_kwargs(hparams, valid_data, "valid")
