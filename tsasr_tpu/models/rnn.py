@@ -61,14 +61,19 @@ class LSTM(nn.Module):
         B = x.shape[0]
         H = self.hidden_size
         if initial_state is None:
-            initial_state = self.initial_state(B, x.dtype)
+            initial_state = self.initial_state(B, self.dtype)
         h0, c0 = initial_state
+        h0 = h0.astype(self.dtype)
+        c0 = c0.astype(self.dtype)
 
         out = x
         h_fin, c_fin = [], []
         for layer, (w_ih, w_hh, b) in enumerate(self.weights):
+            w_ih, w_hh, b = (w.astype(self.dtype)
+                             for w in (w_ih, w_hh, b))
             # One big MXU matmul for the input projection of all steps.
-            x_proj = jnp.einsum("buf,fg->bug", out, w_ih) + b
+            x_proj = jnp.einsum("buf,fg->bug", out.astype(self.dtype),
+                                w_ih) + b
 
             def step(carry, xp, w_hh=w_hh):
                 h, c = carry
@@ -87,9 +92,13 @@ class LSTM(nn.Module):
     def step(self, x, state):
         """Single decode step: x (B, F), state (h, c) -> (out, state)."""
         h_all, c_all = state
-        out = x
+        h_all = h_all.astype(self.dtype)
+        c_all = c_all.astype(self.dtype)
+        out = x.astype(self.dtype)
         h_new, c_new = [], []
         for layer, (w_ih, w_hh, b) in enumerate(self.weights):
+            w_ih, w_hh, b = (w.astype(self.dtype)
+                             for w in (w_ih, w_hh, b))
             gates = out @ w_ih + b + h_all[layer] @ w_hh
             h, c = _lstm_cell(gates, c_all[layer])
             h_new.append(h)
@@ -108,3 +117,133 @@ def _lstm_cell(gates, c):
     c = nn.sigmoid(f) * c + nn.sigmoid(i) * jnp.tanh(g)
     h = nn.sigmoid(o) * jnp.tanh(c)
     return h, c
+
+
+class GRU(nn.Module):
+    """Multi-layer unidirectional GRU (torch gate order r, z, n),
+    reference ``nnet/RNN.py`` GRU equivalent."""
+
+    hidden_size: int
+    in_features: int
+    num_layers: int = 1
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        H = self.hidden_size
+        bound = 1.0 / math.sqrt(H)
+
+        def uniform(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        weights = []
+        size = self.in_features
+        for layer in range(self.num_layers):
+            weights.append((
+                self.param(f"l{layer}_w_ih", uniform, (size, 3 * H)),
+                self.param(f"l{layer}_w_hh", uniform, (H, 3 * H)),
+                self.param(f"l{layer}_b_ih", uniform, (3 * H,)),
+                self.param(f"l{layer}_b_hh", uniform, (3 * H,)),
+            ))
+            size = H
+        self.weights = weights
+
+    def __call__(self, x, initial_state=None):
+        B = x.shape[0]
+        if initial_state is None:
+            initial_state = self.initial_state(B, self.dtype)
+        h0 = initial_state.astype(self.dtype)
+        out = x.astype(self.dtype)
+        h_fin = []
+        for layer, (w_ih, w_hh, b_ih, b_hh) in enumerate(self.weights):
+            w_ih, w_hh, b_ih, b_hh = (w.astype(self.dtype) for w in
+                                      (w_ih, w_hh, b_ih, b_hh))
+            x_proj = jnp.einsum("buf,fg->bug", out, w_ih) + b_ih
+
+            def step(h, xp, w_hh=w_hh, b_hh=b_hh):
+                h = _gru_cell(xp, h @ w_hh + b_hh, h)
+                return h, h
+
+            h_l, ys = jax.lax.scan(step, h0[layer],
+                                   jnp.swapaxes(x_proj, 0, 1))
+            out = jnp.swapaxes(ys, 0, 1)
+            h_fin.append(h_l)
+        return out, jnp.stack(h_fin)
+
+    def step(self, x, state):
+        h_all = state.astype(self.dtype)
+        out = x.astype(self.dtype)
+        h_new = []
+        for layer, (w_ih, w_hh, b_ih, b_hh) in enumerate(self.weights):
+            w_ih, w_hh, b_ih, b_hh = (w.astype(self.dtype) for w in
+                                      (w_ih, w_hh, b_ih, b_hh))
+            h = _gru_cell(out @ w_ih + b_ih,
+                          h_all[layer] @ w_hh + b_hh, h_all[layer])
+            h_new.append(h)
+            out = h
+        return out, jnp.stack(h_new)
+
+    def initial_state(self, batch_size, dtype=jnp.float32):
+        return jnp.zeros((self.num_layers, batch_size,
+                          self.hidden_size), dtype)
+
+
+def _gru_cell(xg, hg, h):
+    """Torch GRU: n uses r-gated hidden projection."""
+    xr, xz, xn = jnp.split(xg, 3, axis=-1)
+    hr, hz, hn = jnp.split(hg, 3, axis=-1)
+    r = nn.sigmoid(xr + hr)
+    z = nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    return (1 - z) * n + z * h
+
+
+class VanillaRNN(nn.Module):
+    """Simple tanh/relu recurrent layer stack (reference ``RNN``)."""
+
+    hidden_size: int
+    in_features: int
+    num_layers: int = 1
+    nonlinearity: str = "tanh"
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        H = self.hidden_size
+        bound = 1.0 / math.sqrt(H)
+
+        def uniform(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        weights = []
+        size = self.in_features
+        for layer in range(self.num_layers):
+            weights.append((
+                self.param(f"l{layer}_w_ih", uniform, (size, H)),
+                self.param(f"l{layer}_w_hh", uniform, (H, H)),
+                self.param(f"l{layer}_b", uniform, (H,)),
+            ))
+            size = H
+        self.weights = weights
+
+    def __call__(self, x, initial_state=None):
+        act = jnp.tanh if self.nonlinearity == "tanh" else nn.relu
+        B = x.shape[0]
+        if initial_state is None:
+            initial_state = jnp.zeros(
+                (self.num_layers, B, self.hidden_size), self.dtype)
+        h0 = initial_state.astype(self.dtype)
+        out = x.astype(self.dtype)
+        h_fin = []
+        for layer, (w_ih, w_hh, b) in enumerate(self.weights):
+            x_proj = jnp.einsum("buf,fg->bug", out,
+                                w_ih.astype(self.dtype)) \
+                + b.astype(self.dtype)
+
+            def step(h, xp, w_hh=w_hh.astype(self.dtype)):
+                h = act(xp + h @ w_hh)
+                return h, h
+
+            h_l, ys = jax.lax.scan(step, h0[layer],
+                                   jnp.swapaxes(x_proj, 0, 1))
+            out = jnp.swapaxes(ys, 0, 1)
+            h_fin.append(h_l)
+        return out, jnp.stack(h_fin)

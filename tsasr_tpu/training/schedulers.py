@@ -142,3 +142,37 @@ class StepScheduler:
     def __call__(self, epoch):
         return self.initial_value * math.pow(
             self.decay_factor, math.floor(epoch / self.decay_drop))
+
+
+class CyclicCosineScheduler:
+    """Cosine annealing with warm restarts + optional warmup
+    (reference ``CyclicCosineScheduler``)."""
+
+    def __init__(self, n_warmup_steps, lr_initial=None, total_steps=100000):
+        self.n_warmup_steps = n_warmup_steps
+        self.lr_initial = lr_initial
+        self.total_steps = total_steps
+        self.n_steps = 0
+        self.current_lr = lr_initial
+
+    def __call__(self, base_lr=None):
+        self.n_steps += 1
+        lr0 = self.lr_initial if self.lr_initial is not None else base_lr
+        n = self.n_steps
+        scale = 0.5 * (1 + math.cos(
+            math.pi * (n + self.n_warmup_steps)
+            / (self.total_steps + self.n_warmup_steps)))
+        old = self.current_lr
+        self.current_lr = lr0 * scale
+        return old, self.current_lr
+
+    def save(self, path):
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump({"n_steps": self.n_steps,
+                       "current_lr": self.current_lr}, f)
+
+    def load(self, path, end_of_epoch=True):
+        with open(path, encoding="utf-8") as f:
+            saved = json.load(f)
+        self.n_steps = saved["n_steps"]
+        self.current_lr = saved["current_lr"]
