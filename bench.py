@@ -35,10 +35,16 @@ def main():
     from tsasr_tpu.ops.rnnt_loss import rnnt_loss
     from tsasr_tpu.training.schedulers import noam_schedule
 
+    import os
+
     # realistic 2-mix bucket: 12 x 4 s mixture (48 s audio/batch),
     # 5 s enrollments, ~60 char targets
     B, mix_sec, enr_sec, U = 12, 4, 5, 60
     sr = 16000
+    # bf16 compute is the TPU-native production configuration (the
+    # reference's bf16_mix_prec equivalent); BENCH_PRECISION=fp32 to
+    # measure the full-precision path
+    precision = os.environ.get("BENCH_PRECISION", "bf16")
     rng = np.random.default_rng(0)
     wav = jnp.asarray(rng.normal(size=(B, mix_sec * sr)) * 0.1, jnp.float32)
     enroll = jnp.asarray(rng.normal(size=(B, enr_sec * sr)) * 0.1,
@@ -48,7 +54,9 @@ def main():
                              jnp.int32)
     tokens_bos = tokens_bos.at[:, 0].set(0)
 
-    cfg = TSTransducerConfig(injection_mode="cat")
+    cfg = TSTransducerConfig(
+        injection_mode="cat",
+        dtype=jnp.bfloat16 if precision == "bf16" else jnp.float32)
     model = TSTransducer(cfg)
     fbank = Fbank(sample_rate=sr, n_fft=512, n_mels=80, win_length=32.0)
 

@@ -123,9 +123,9 @@ class TestDebugExperiment:
         wer_file = os.path.join(out_dir, "wer_test-clean-2mix.txt")
         assert os.path.exists(wer_file)
         assert open(wer_file).read().startswith("%WER")
-        ckpts = [d for d in os.listdir(os.path.join(out_dir, "save"))
-                 if d.startswith("CKPT")]
-        assert ckpts
+        # debug mode diverts checkpoints to a throwaway dir (reference
+        # behavior); they must exist there
+        assert brain.checkpointer.list_checkpoints()
         # resolved hyperparams + env snapshot exist
         assert os.path.exists(os.path.join(out_dir, "hyperparams.yaml"))
         assert os.path.exists(os.path.join(out_dir, "env.log"))

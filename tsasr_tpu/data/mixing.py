@@ -84,6 +84,8 @@ def make_audio_pipeline(hparams):
         enroll = load_enrollment(
             enroll_wav, sample_rate=hparams["sample_rate"],
             trim_enroll=hparams.get("trim_enroll"))
+        if hparams.get("plot_data"):
+            _plot_example(hparams, mixed, enroll)
         if hparams.get("prompt_test"):
             mode = hparams.get("prompt_mode", [])
             if "prepend" in mode:
@@ -96,6 +98,29 @@ def make_audio_pipeline(hparams):
         yield enroll
 
     return audio_pipeline
+
+
+def _plot_example(hparams, mixed, enroll, ID=None):
+    """Per-example waveform/fbank/wav dumps (the reference's plot_data
+    switch in the audio pipeline)."""
+    import os
+    import uuid
+    from tsasr_tpu.utils.visualization import (
+        play_waveform,
+        plot_fbanks,
+        plot_waveform,
+    )
+    folder = hparams.get("image_folder", "images")
+    safe = (ID or uuid.uuid4().hex[:8]).replace("/", "_").split(".")[0]
+    out = os.path.join(folder, safe)
+    os.makedirs(out, exist_ok=True)
+    sr = hparams["sample_rate"]
+    play_waveform(mixed, sr, os.path.join(out, f"{safe}.wav"))
+    play_waveform(enroll, sr, os.path.join(out, f"{safe}_enrollment.wav"))
+    for fmt in hparams.get("image_formats", ["jpg"]):
+        plot_waveform(mixed, sr,
+                      os.path.join(out, f"{safe}_waveform.{fmt}"))
+        plot_fbanks(mixed, sr, os.path.join(out, f"{safe}_fbanks.{fmt}"))
 
 
 def make_text_pipeline(tokenizer, blank_index=0):

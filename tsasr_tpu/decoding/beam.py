@@ -111,9 +111,17 @@ class TransducerBeamSearcher:
 
     def _search_utterance(self, enc_out, T):
         beam = [_Hyp([self.blank], 0.0, self._initial_state())]
+        # Safety valve: the reference's A*-style loop can blow up on
+        # near-uniform (e.g. untrained) models where blank never reaches
+        # the top-k; cap expansions per frame (no effect on trained
+        # models, where blank dominates).
+        max_steps_per_frame = max(64, 16 * self.beam_size)
         for t in range(T):
             process, beam = beam, []
-            while len(beam) < self.beam_size and process:
+            steps = 0
+            while len(beam) < self.beam_size and process and \
+                    steps < max_steps_per_frame:
+                steps += 1
                 a_best = max(process, key=lambda h: h.norm_score)
                 if beam:
                     b_best = max(beam, key=lambda h: h.norm_score)
@@ -157,6 +165,11 @@ class TransducerBeamSearcher:
                             lm_s = lm_state
                         process.append(_Hyp(a_best.prediction + [idx],
                                             new_score, new_state, lm_s))
+            if not beam:
+                # pathological frame (see safety valve above): carry the
+                # best unfinished hypotheses forward
+                beam = sorted(process, key=lambda h: h.norm_score,
+                              reverse=True)[: self.beam_size]
         ranked = sorted(beam, key=lambda h: h.norm_score,
                         reverse=True)[: self.nbest]
         if not ranked:

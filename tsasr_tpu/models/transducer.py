@@ -240,6 +240,18 @@ class TSTransducer(nn.Module):
                          deterministic=deterministic)
         return self.encoder_proj(x)
 
+    def encode_with_attn(self, feats, rel_lens, speaker_embs=None,
+                         speaker_rel_lens=None):
+        """Like ``encode`` but also returns per-layer attention maps
+        (the recipe's ``plot_attentions`` path,
+        ``train_librispeechmix_scratch.py:100-119``)."""
+        x = self.frontend(feats, deterministic=True)
+        x, attns = self.encoder(
+            x, rel_lens, speaker_embs=speaker_embs,
+            speaker_embs_length=speaker_rel_lens, deterministic=True,
+            return_attn=True)
+        return self.encoder_proj(x), attns
+
     # --------------------------------------------------------- predictor
     def predict(self, tokens_bos, initial_state=None):
         return self.predictor(tokens_bos, initial_state)

@@ -193,16 +193,43 @@ class TSASRBrain(Brain):
                 self.model, self.params,
                 blank_index=self.hparams.blank_index)
         if self._beam is None:
-            self._beam = TransducerBeamSearcher(
-                self.model, self.params,
-                blank_index=self.hparams.blank_index,
-                beam_size=self.hparams.beam_size, nbest=1,
-                state_beam=self.hparams.state_beam,
-                expand_beam=self.hparams.expand_beam)
+            backend = getattr(self.hparams, "beam_backend", "batched")
+            if self.hparams.beam_size <= 1:
+                self._beam = self._greedy
+            elif backend == "batched":
+                from tsasr_tpu.decoding import BatchedBeamSearcher
+                self._beam = BatchedBeamSearcher(
+                    self.model, self.params,
+                    blank_index=self.hparams.blank_index,
+                    beam_size=self.hparams.beam_size, nbest=1,
+                    expand_beam=self.hparams.expand_beam)
+            else:
+                self._beam = TransducerBeamSearcher(
+                    self.model, self.params,
+                    blank_index=self.hparams.blank_index,
+                    beam_size=self.hparams.beam_size, nbest=1,
+                    state_beam=self.hparams.state_beam,
+                    expand_beam=self.hparams.expand_beam)
         self._greedy.update_params(self.params)
         self._beam.update_params(self.params)
 
     def evaluate_batch_extra(self, batch, arrays, predictions, stage):
+        if getattr(self.hparams, "plot_attentions", False) or \
+                getattr(self.hparams, "plot_embeddings", False):
+            diag = self.collect_diagnostics(batch, arrays, stage)
+            if "attentions" in diag and \
+                    getattr(self.hparams, "image_folder", None):
+                from tsasr_tpu.utils.visualization import plot_attention
+                for j, attn in enumerate(diag["attentions"]):
+                    for i, ID in enumerate(batch.id):
+                        safe = ID.replace("/", "_").split(".")[0]
+                        for fmt in getattr(self.hparams, "image_formats",
+                                           ["jpg"]):
+                            plot_attention(attn[i], os.path.join(
+                                self.hparams.image_folder, safe,
+                                "attention",
+                                f"{safe}_attention_"
+                                f"{str(j + 1).zfill(2)}.{fmt}"))
         _, enc_out = predictions
         hyps = None
         if stage == Stage.VALID:
@@ -248,7 +275,41 @@ class TSASRBrain(Brain):
     def on_fit_batch_end(self, batch, outputs, loss, should_step):
         # noam stepping is handled inside the jitted optax schedule; the
         # host mirror in Brain.fit_batch keeps current_lr for logging.
-        pass
+        if getattr(self.hparams, "plot_grad_norm", False):
+            if not hasattr(self, "grad_norm"):
+                self.grad_norm = []
+            self.grad_norm.append(self.last_grad_norm)
+
+    def collect_diagnostics(self, batch, arrays, stage):
+        """Attention / speaker-embedding collection for the plotting
+        switches (reference ``plot_attentions`` / ``plot_embeddings``)."""
+        out = {}
+        if getattr(self.hparams, "plot_attentions", False):
+            feats, rel = self._mixture_features(
+                arrays, stage, jax.random.PRNGKey(0))
+            kwargs = self._forward_kwargs(arrays)
+            speaker = None
+            if self.variant == "scratch":
+                speaker = self.model.apply(
+                    self.params, kwargs["enroll_feats"],
+                    kwargs["enroll_rel_lens"],
+                    method=self.model.extract_speaker)
+            _, attns = self.model.apply(
+                self.params, feats, rel, speaker_embs=speaker,
+                method=self.model.encode_with_attn)
+            out["attentions"] = [np.asarray(a) for a in attns]
+        if getattr(self.hparams, "plot_embeddings", False) and \
+                self.variant == "scratch":
+            kwargs = self._forward_kwargs(arrays)
+            embs = self.model.apply(
+                self.params, kwargs["enroll_feats"],
+                kwargs["enroll_rel_lens"],
+                method=self.model.extract_speaker)
+            if not hasattr(self, "all_speaker_embs"):
+                self.all_speaker_embs = {}
+            for i, ID in enumerate(batch.id):
+                self.all_speaker_embs[ID] = np.asarray(embs[i, 0])
+        return out
 
     def on_stage_start(self, stage, epoch=None):
         if epoch is not None:
@@ -351,11 +412,14 @@ def dataio_prepare(hparams, tokenizer, variant="scratch"):
 
 
 def build_dataloader_kwargs(hparams, dataset, stage):
-    """Dynamic-batching loader kwargs (reference main :576-610)."""
+    """Dynamic-batching loader kwargs (reference main :576-610); in
+    multi-host runs the batch sampler is sharded across processes
+    (the reference's DistributedSamplerWrapper for train AND eval,
+    ``core.py:862-865,938-944``)."""
     kwargs = {"num_workers": min(hparams.get("dataloader_workers", 0), 1),
               "pad_to_multiple": hparams.get("pad_to_multiple")}
     if hparams.get("dynamic_batching", True):
-        kwargs["batch_sampler"] = DynamicBatchSampler(
+        sampler = DynamicBatchSampler(
             dataset, hparams[f"{stage}_max_batch_length"],
             num_buckets=hparams["num_buckets"],
             length_func=lambda x: x["duration"],
@@ -363,6 +427,13 @@ def build_dataloader_kwargs(hparams, dataset, stage):
             batch_ordering=(hparams.get("sorting", "ascending")
                             if stage == "train" else "descending"),
             max_batch_ex=hparams["max_batch_size"])
+        import jax
+        if jax.process_count() > 1:
+            from tsasr_tpu.data import DistributedSamplerWrapper
+            sampler = DistributedSamplerWrapper(
+                sampler, rank=jax.process_index(),
+                world_size=jax.process_count())
+        kwargs["batch_sampler"] = sampler
     else:
         kwargs["batch_size"] = hparams[f"{stage}_batch_size"]
     return kwargs
@@ -452,6 +523,13 @@ def run_experiment(variant, argv=None):
               train_loader_kwargs=train_kwargs,
               valid_loader_kwargs=valid_kwargs)
 
+    if hparams.get("plot_grad_norm") and getattr(brain, "grad_norm", None):
+        from tsasr_tpu.utils.visualization import plot_grad_norm
+        for fmt in hparams.get("image_formats", ["jpg"]):
+            plot_grad_norm(brain.grad_norm, os.path.join(
+                hparams.get("image_folder", hparams["output_folder"]),
+                f"grad_norm.{fmt}"))
+
     for split in hparams["test_splits"]:
         run_on_main(prepare_librispeechmix, kwargs={
             "data_folder": hparams["data_folder"],
@@ -488,6 +566,19 @@ def run_experiment(variant, argv=None):
 
         brain.evaluate(test_data, min_key="WER",
                        test_loader_kwargs=test_kwargs)
+
+    if hparams.get("plot_embeddings") and \
+            getattr(brain, "all_speaker_embs", None):
+        from tsasr_tpu.utils.visualization import plot_embeddings
+        folder = hparams.get("image_folder", hparams["output_folder"])
+        for fmt in hparams.get("image_formats", ["jpg"]):
+            plot_embeddings(
+                list(brain.all_speaker_embs.values()),
+                [str(k).split("/")[-3] if "/" in str(k) else str(k)
+                 for k in brain.all_speaker_embs],
+                os.path.join(folder, f"embeddings.{fmt}"),
+                title=f"Speaker embeddings ({variant})",
+                perplexity=min(len(brain.all_speaker_embs) - 1, 30))
     return brain
 
 

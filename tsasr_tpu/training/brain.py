@@ -310,6 +310,14 @@ class Brain:
         self.init_optimizers()
         if self._jit_train_step is None:
             self._jit_train_step = self._build_train_step()
+        if self.debug and self.checkpointer is not None and \
+                not getattr(self, "_debug_ckpt_diverted", False):
+            # debug runs checkpoint into a throwaway dir (reference
+            # core.py:670-685)
+            import tempfile
+            self.checkpointer.checkpoints_dir = tempfile.mkdtemp(
+                prefix="tsasr_debug_ckpt_")
+            self._debug_ckpt_diverted = True
         if self.checkpointer is not None:
             self.checkpointer.add_recoverable("dataloader", train_set)
             self.checkpointer.recover_if_possible()
