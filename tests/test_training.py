@@ -269,4 +269,7 @@ class TestBrainLossGoesDown:
         brain.fit_batch = spy
         brain.fit(EpochCounter(8), ListDataset(),
                   train_loader_kwargs={"batch_size": 8})
+        # first batch of each epoch reports NaN (async one-step-delayed
+        # loss fetch); filter before comparing
+        losses = [l for l in losses if np.isfinite(l)]
         assert np.mean(losses[-4:]) < 0.5 * np.mean(losses[:4])

@@ -260,6 +260,10 @@ class Brain:
 
     # =========================================================== fitting
     def fit_batch(self, batch):
+        """Dispatch one jitted step; the loss is read back one step
+        *late* so the host never blocks on the device (JAX async
+        dispatch keeps the step pipeline full; the reference blocks on
+        ``loss.detach().cpu()`` every batch)."""
         arrays = self._put_batch(self.batch_to_arrays(batch))
         step_rng = jax.random.fold_in(self.rng, self.optimizer_step * 131071
                                       + self.step)
@@ -274,6 +278,14 @@ class Brain:
                     getattr(self.hparams, "enable_scheduler", True):
                 sched.n_steps = self.optimizer_step
                 sched.current_lr = self.current_lr()
+        pending, self._pending_loss = \
+            getattr(self, "_pending_loss", None), (loss, grad_norm)
+        if pending is None:
+            return float("nan")      # first batch: no value yet
+        return self._consume_loss(pending)
+
+    def _consume_loss(self, pending):
+        loss, grad_norm = pending
         loss_val = float(loss)
         if not np.isfinite(loss_val):
             self.nonfinite_count += 1
@@ -286,6 +298,13 @@ class Brain:
             loss_val = self.avg_train_loss
         self.last_grad_norm = float(grad_norm)
         return loss_val
+
+    def _flush_pending_loss(self):
+        pending, self._pending_loss = \
+            getattr(self, "_pending_loss", None), None
+        if pending is not None:
+            return self._consume_loss(pending)
+        return None
 
     def _update_average(self, loss, avg_loss):
         if np.isfinite(loss):
@@ -346,6 +365,7 @@ class Brain:
             train_set.set_epoch(epoch)
         self.step = 0
         self.avg_train_loss = 0.0
+        self._pending_loss = None
         iterator = train_set
         if progressbar and if_main_process():
             from tqdm import tqdm
@@ -368,6 +388,10 @@ class Brain:
             if self.optimizer_step_limit is not None and \
                     self.optimizer_step >= self.optimizer_step_limit:
                 break
+        final_loss = self._flush_pending_loss()
+        if final_loss is not None:
+            self.avg_train_loss = self._update_average(
+                final_loss, self.avg_train_loss)
         self.on_stage_end(Stage.TRAIN, self.avg_train_loss, epoch)
         self.train_stats_loss = self.avg_train_loss
         self.step = 0
