@@ -235,6 +235,113 @@ class Fbank:
         return fbanks
 
 
+def istft(re, im, sample_rate=16000, win_length=25.0, hop_length=10.0,
+          n_fft=400, center=True, length=None):
+    """Inverse STFT with overlap-add + squared-window normalization
+    (reference ``ISTFT``, ``processing/features.py:180-315``)."""
+    win = _ms_to_samples(sample_rate, win_length)
+    hop = _ms_to_samples(sample_rate, hop_length)
+    window = _hamming_window(win)
+    if win < n_fft:
+        left = (n_fft - win) // 2
+        window = np.pad(window, (left, n_fft - win - left))
+    window = jnp.asarray(window)
+
+    spec = re + 1j * im                                  # (B, T, F)
+    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)       # (B, T, n_fft)
+    frames = frames * window[None, None, :]
+    B, T, _ = frames.shape
+    out_len = n_fft + hop * (T - 1)
+    sig = jnp.zeros((B, out_len))
+    norm = jnp.zeros((out_len,))
+    win_sq = window * window
+    for t in range(T):
+        sig = sig.at[:, t * hop: t * hop + n_fft].add(frames[:, t])
+        norm = norm.at[t * hop: t * hop + n_fft].add(win_sq)
+    sig = sig / jnp.maximum(norm, 1e-11)[None, :]
+    if center:
+        sig = sig[:, n_fft // 2: out_len - n_fft // 2]
+    if length is not None:
+        sig = sig[:, :length]
+    return sig
+
+
+def deltas(x, window_length=5):
+    """Delta coefficients via the standard regression filter over time
+    (reference ``Deltas``, ``processing/features.py:708-781``)."""
+    n = (window_length - 1) // 2
+    denom = n * (n + 1) * (2 * n + 1) / 3
+    kernel = jnp.arange(-n, n + 1, dtype=x.dtype) / denom
+    padded = jnp.pad(x, ((0, 0), (n, n), (0, 0)), mode="edge")
+    # depthwise conv over time realized as a vectorized correlation
+    out = jnp.zeros_like(x)
+    for i, c in enumerate(np.arange(-n, n + 1) / denom):
+        out = out + c * padded[:, i: i + x.shape[1], :]
+    return out
+
+
+def context_window(x, left_frames=5, right_frames=5):
+    """Concatenate left/right context frames along features
+    (reference ``ContextWindow``, ``processing/features.py:784-871``)."""
+    pieces = []
+    T = x.shape[1]
+    padded = jnp.pad(x, ((0, 0), (left_frames, right_frames), (0, 0)))
+    for offset in range(left_frames + right_frames + 1):
+        pieces.append(padded[:, offset: offset + T, :])
+    return jnp.concatenate(pieces, axis=-1)
+
+
+@functools.lru_cache(maxsize=8)
+def _dct_matrix(n_input, n_out, ortho_norm=True):
+    """Type-II DCT matrix (n_input, n_out)."""
+    n = np.arange(n_input, dtype=np.float64)
+    k = np.arange(n_out, dtype=np.float64)
+    mat = np.cos(np.pi / n_input * (n[:, None] + 0.5) * k[None, :])
+    if ortho_norm:
+        mat[:, 0] *= 1.0 / np.sqrt(2.0)
+        mat *= np.sqrt(2.0 / n_input)
+    else:
+        mat *= 2.0
+    return mat.astype(np.float32)
+
+
+def dct(x, n_out=20, ortho_norm=True):
+    """DCT over the feature axis (reference ``DCT``,
+    ``processing/features.py:874-930``)."""
+    return jnp.matmul(x, jnp.asarray(_dct_matrix(x.shape[-1], n_out,
+                                                 ortho_norm)))
+
+
+class MFCC:
+    """Waveform -> MFCCs: Fbank -> DCT (+ optional deltas/context),
+    reference ``lobes/features.py`` MFCC lobe."""
+
+    def __init__(self, sample_rate=16000, n_fft=400, n_mels=23,
+                 n_mfcc=20, win_length=25.0, hop_length=10.0,
+                 use_deltas=True, use_context=True, left_frames=5,
+                 right_frames=5, f_min=0.0, f_max=None):
+        self.fbank = Fbank(sample_rate=sample_rate, n_fft=n_fft,
+                           n_mels=n_mels, win_length=win_length,
+                           hop_length=hop_length, f_min=f_min,
+                           f_max=f_max)
+        self.n_mfcc = n_mfcc
+        self.use_deltas = use_deltas
+        self.use_context = use_context
+        self.left_frames = left_frames
+        self.right_frames = right_frames
+
+    def __call__(self, wav):
+        feats = dct(self.fbank(wav), n_out=self.n_mfcc)
+        if self.use_deltas:
+            d1 = deltas(feats)
+            d2 = deltas(d1)
+            feats = jnp.concatenate([feats, d1, d2], axis=-1)
+        if self.use_context:
+            feats = context_window(feats, self.left_frames,
+                                   self.right_frames)
+        return feats
+
+
 def input_normalization(x, rel_lengths, mean_norm=True, std_norm=True,
                         eps=1e-10):
     """Sentence-level mean/variance normalization over valid frames.
