@@ -1,0 +1,120 @@
+"""Chunked streaming transcription for causal models.
+
+The reference's streaming story is *causality* (causal conv frontend +
+lookahead-masked attention, SURVEY.md §5.7) but it ships no streaming
+runtime. This module adds one: audio arrives in chunks, and the decoder
+state (emitted tokens + prediction-network state) carries across chunks,
+so partial transcripts are available with chunk latency.
+
+Strategy (re-encode with history): a causal encoder's frame ``t`` output
+depends only on frames ``<= t``, so re-encoding the accumulated feature
+history and greedy-decoding only the *new* encoder frames is exactly
+equivalent to offline greedy decoding — the test pins this equivalence.
+``max_history_seconds`` bounds the re-encoded window for long streams
+(beyond it, outputs may differ from offline decoding only through the
+truncated attention context). Per-layer KV/conv caching is the planned
+constant-time refinement; the emission semantics would be unchanged.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+class StreamingTranscriber:
+    """Stateful chunk-by-chunk transcription (single stream)."""
+
+    def __init__(self, model, params, tokenizer, sample_rate=16000,
+                 n_fft=512, n_mels=80, win_length=32.0, hop_ms=10.0,
+                 blank_index=0, speaker_embs=None,
+                 max_history_seconds=None):
+        from tsasr_tpu.ops import Fbank
+        self.model = model
+        self.params = params
+        self.tokenizer = tokenizer
+        self.sample_rate = sample_rate
+        self.hop = int(round(sample_rate / 1000.0 * hop_ms))
+        self.blank = blank_index
+        self.speaker_embs = speaker_embs
+        self.max_history = (int(max_history_seconds * sample_rate)
+                            if max_history_seconds else None)
+        self.fbank = Fbank(sample_rate=sample_rate, n_fft=n_fft,
+                           n_mels=n_mels, win_length=win_length)
+        self.reset()
+
+    def reset(self):
+        self._audio = np.zeros(0, np.float32)
+        self._decoded_frames = 0      # global encoder frames consumed
+        self._dropped_samples = 0     # history trimmed off the window
+        self._tokens = []
+        self._pn_state = None
+        self._dec_out = None
+
+    # ----------------------------------------------------------- chunks
+    def accept_chunk(self, chunk):
+        """Feed new audio; returns the transcript-so-far (partial)."""
+        chunk = np.asarray(chunk, np.float32)
+        self._audio = np.concatenate([self._audio, chunk])
+        if self.max_history and len(self._audio) > self.max_history:
+            # trim hop-aligned so encoder frame indices stay aligned
+            drop = len(self._audio) - self.max_history
+            drop -= drop % (4 * self.hop)   # 4x frontend subsampling
+            self._audio = self._audio[drop:]
+            self._dropped_samples += drop
+
+        window_start = self._enc_frames(self._dropped_samples) \
+            if self._dropped_samples else 0
+        enc = self._encode(jnp.asarray(self._audio)[None])
+        new_lo = self._decoded_frames - window_start
+        total = window_start + enc.shape[1]
+        if new_lo < enc.shape[1]:
+            self._greedy_frames(enc[:, max(new_lo, 0):])
+            self._decoded_frames = total
+        return self.partial_transcript()
+
+    def finalize(self):
+        """End of stream -> final transcript."""
+        return self.partial_transcript()
+
+    def partial_transcript(self):
+        return " ".join(self.tokenizer.decode_ids_to_words(self._tokens))
+
+    # ------------------------------------------------------------ device
+    def _enc_frames(self, num_samples):
+        """Encoder frames produced by a prefix of this many samples."""
+        feat = 1 + num_samples // self.hop
+        half = -(-feat // 2)
+        return -(-half // 2)
+
+    def _encode(self, wav):
+        from tsasr_tpu.ops import input_normalization
+        rel = jnp.ones((1,), jnp.float32)
+        feats = input_normalization(self.fbank(wav), rel)
+        return self.model.apply(self.params, feats, rel,
+                                self.speaker_embs, None,
+                                method=self.model.encode)
+
+    def _greedy_frames(self, enc_frames):
+        """Advance greedy decoding over new encoder frames, carrying the
+        prediction-network state."""
+        if self._pn_state is None:
+            self._pn_state = self.model.apply(
+                self.params, 1,
+                method=self.model.predictor_initial_state)
+            last = self._tokens[-1] if self._tokens else self.blank
+            self._dec_out, self._pn_state = self.model.apply(
+                self.params, jnp.asarray([last], jnp.int32),
+                self._pn_state, method=self.model.predict_step)
+        T = enc_frames.shape[1]
+        for t in range(T):
+            logits = self.model.apply(
+                self.params, enc_frames[:, t][:, None, :],
+                self._dec_out[:, None, :],
+                method=self.model.joint_logits)[0, 0]       # (V,)
+            token = int(jnp.argmax(logits))
+            if token != self.blank:
+                self._tokens.append(token)
+                self._dec_out, self._pn_state = self.model.apply(
+                    self.params, jnp.asarray([token], jnp.int32),
+                    self._pn_state, method=self.model.predict_step)
