@@ -64,7 +64,9 @@ class TestStreaming:
         # full history at the last chunk, so transcripts can still
         # differ on early frames. Compare decoded-so-far stability:
         assert isinstance(final, str)
-        assert partials[-1] == final
+        # emissions are monotone: the last partial is a prefix of the
+        # final transcript (finalize decodes the held-back tail frames)
+        assert final.startswith(partials[-1])
 
     def test_streaming_equivalence_without_normalization(self, rng):
         """With normalization removed from the equation (identity
@@ -99,6 +101,7 @@ class TestStreaming:
         for i in range(4):
             streamer.accept_chunk(wav[i * chunk: (i + 1) * chunk])
         streamer.accept_chunk(wav[4 * chunk:])
+        streamer.finalize()
         assert streamer._tokens == offline_hyps[0]
 
 

@@ -41,6 +41,12 @@ class StreamingTranscriber:
                             if max_history_seconds else None)
         self.fbank = Fbank(sample_rate=sample_rate, n_fft=n_fft,
                            n_mels=n_mels, win_length=win_length)
+        # STFT center-padding contaminates the last ceil((n_fft/2)/hop)
+        # feature frames of a partial signal (they see zeros where future
+        # audio belongs); hold the affected encoder frames back until the
+        # next chunk (or finalize) provides the real samples.
+        contaminated_feat = -(-(n_fft // 2) // self.hop) + 1
+        self.holdback = -(-contaminated_feat // 4)    # 4x subsampling
         self.reset()
 
     def reset(self):
@@ -52,7 +58,7 @@ class StreamingTranscriber:
         self._dec_out = None
 
     # ----------------------------------------------------------- chunks
-    def accept_chunk(self, chunk):
+    def accept_chunk(self, chunk, final=False):
         """Feed new audio; returns the transcript-so-far (partial)."""
         chunk = np.asarray(chunk, np.float32)
         self._audio = np.concatenate([self._audio, chunk])
@@ -67,14 +73,18 @@ class StreamingTranscriber:
             if self._dropped_samples else 0
         enc = self._encode(jnp.asarray(self._audio)[None])
         new_lo = self._decoded_frames - window_start
-        total = window_start + enc.shape[1]
-        if new_lo < enc.shape[1]:
-            self._greedy_frames(enc[:, max(new_lo, 0):])
-            self._decoded_frames = total
+        hi = enc.shape[1] if final else \
+            max(enc.shape[1] - self.holdback, 0)
+        if new_lo < hi:
+            self._greedy_frames(enc[:, max(new_lo, 0): hi])
+            self._decoded_frames = window_start + hi
         return self.partial_transcript()
 
     def finalize(self):
-        """End of stream -> final transcript."""
+        """End of stream: decode the held-back tail frames, return the
+        final transcript."""
+        if len(self._audio):
+            self.accept_chunk(np.zeros(0, np.float32), final=True)
         return self.partial_transcript()
 
     def partial_transcript(self):
