@@ -98,3 +98,32 @@ class TestRNNVariants:
         out, h = net.apply(params, x)
         assert out.shape == (3, 7, 8)
         assert h.shape == (1, 3, 8)
+
+
+class TestDeviceResampler:
+    def test_matches_host_resampler(self, rng):
+        import jax.numpy as jnp
+        from tsasr_tpu.data.audio import resample as host_resample
+        from tsasr_tpu.ops.augment import resample_device
+
+        x = rng.normal(size=4000).astype("float32")
+        dev = resample_device(jnp.asarray(x)[None], 8000, 16000)[0]
+        host = host_resample(x, 8000, 16000)
+        assert dev.shape[0] == len(host)
+        import numpy as np
+        np.testing.assert_allclose(np.asarray(dev), host, atol=1e-4)
+
+    def test_speed_perturb_slows_and_speeds(self, rng):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from tsasr_tpu.ops.augment import speed_perturb
+
+        wav = jnp.asarray(rng.normal(size=(2, 8000)), jnp.float32)
+        factors = set()
+        for seed in range(12):
+            _, factor = speed_perturb(wav, jax.random.PRNGKey(seed))
+            factors.add(round(float(factor), 3))
+        # all three speeds should appear over a few seeds
+        assert len(factors) >= 2
+        assert all(0.9 < f <= 1.06 for f in factors)

@@ -164,6 +164,7 @@ class TSConformerEncoder(nn.Module):
     activation: Callable = jax.nn.leaky_relu
     injection_mode: Union[str, None] = None
     injection_after: Sequence[int] = (0,)
+    remat: bool = False    # rematerialize layers (memory for long T)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -204,15 +205,22 @@ class TSConformerEncoder(nn.Module):
 
         pos_emb = rel_pos_encoding(T, self.d_model, dtype=self.dtype)
 
+        layer_cls = ConformerEncoderLayer
+        if self.remat:
+            # trade recompute for activation memory (jax.checkpoint):
+            # long-utterance training (T up to 1500 frames) fits HBM
+            layer_cls = nn.remat(ConformerEncoderLayer,
+                                 static_argnums=(5,))
+
         attns = []
         for i in range(self.num_layers):
-            x, attn_w = ConformerEncoderLayer(
+            x, attn_w = layer_cls(
                 d_model=self.d_model, d_ffn=self.d_ffn, nhead=self.nhead,
                 kernel_size=self.kernel_size, dropout=self.dropout,
                 causal=self.causal, activation=self.activation,
                 dtype=self.dtype, name=f"layer_{i}")(
-                    x, pos_emb, key_padding_mask=key_padding_mask,
-                    attn_mask=attn_mask, deterministic=deterministic)
+                    x, pos_emb, key_padding_mask, attn_mask,
+                    deterministic)
             if return_attn:
                 attns.append(attn_w)
             if i in injection_after and speaker_embs is not None:

@@ -61,6 +61,7 @@ class TSTransducerConfig:
     decoder_num_layers: int = 1
     joint_dim: int = 640
     joint_mode: str = "sum"
+    remat: bool = False
     dtype: Any = jnp.float32
 
 
@@ -176,7 +177,7 @@ class TSTransducer(nn.Module):
             injection_after=(tuple(c.injection_after)
                              if isinstance(c.injection_after, (list, tuple))
                              else (c.injection_after,)),
-            dtype=c.dtype)
+            remat=c.remat, dtype=c.dtype)
         self.encoder_proj = nn.Dense(c.joint_dim, dtype=c.dtype,
                                      name="encoder_proj")
         self.predictor = Predictor(
@@ -197,7 +198,8 @@ class TSTransducer(nn.Module):
                 d_model=c.d_model, nhead=c.nhead,
                 num_layers=c.speaker_encoder_layers, d_ffn=c.d_ffn,
                 kernel_size=c.kernel_size, dropout=c.dropout,
-                causal=False, injection_mode=None, dtype=c.dtype)
+                causal=False, injection_mode=None, remat=c.remat,
+                dtype=c.dtype)
         if c.injection_mode is not None:
             # speaker_proj maps (own encoder d_model | external dim)
             self.speaker_proj = nn.Dense(c.d_model, dtype=c.dtype,

@@ -107,26 +107,55 @@ def _time_warp(x, rng, window):
     return x[:, lo] * (1 - frac) + x[:, hi] * frac
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _resample_linear(x, rng_unused, in_len, out_len):
-    return _interp_linear(x[..., None], out_len, in_len)[..., 0]
+def resample_device(wav, orig_freq, new_freq):
+    """Windowed-sinc polyphase resampling on device (B, L) -> (B, L').
+
+    Same Kaiser-sinc kernel design as the host resampler
+    (``tsasr_tpu/data/audio.py::_sinc_kernel``), realized as ONE
+    strided convolution with the polyphase kernels as output channels —
+    MXU-friendly (the reference's ``Resample`` runs a torch conv,
+    ``processing/speech_augmentation.py:511-823``).
+    """
+    import math
+
+    from tsasr_tpu.data.audio import _sinc_kernel
+
+    if int(orig_freq) == int(new_freq):
+        return wav
+    kernels, width, of, nf = _sinc_kernel(int(orig_freq), int(new_freq))
+    B, L = wav.shape
+    target_len = int(math.ceil(nf * L / of))
+    padded = jnp.pad(wav, ((0, 0), (width, width + of)))
+    kw = kernels.shape[1]
+    # conv: out channel = phase, stride = of  -> (B, nf, n_frames)
+    out = jax.lax.conv_general_dilated(
+        padded[:, None, :], jnp.asarray(kernels)[:, None, :],
+        window_strides=(of,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST)
+    # interleave phases: sample index = frame * nf + phase
+    out = jnp.swapaxes(out, 1, 2).reshape(B, -1)
+    return out[:, :target_len]
 
 
 def speed_perturb(wav, rng, speeds=(95, 100, 105), sample_rate=16000):
     """Random speed change of (B, L) waveforms; output stays (B, L)
     (sped-up audio is right-padded with zeros, slowed audio truncated —
     keeps shapes static inside jit; callers rescale lengths with the
-    returned factor)."""
+    returned factor). Uses the same windowed-sinc resampler as the
+    reference ``SpeedPerturb`` (:435-508)."""
     B, L = wav.shape
     idx = jax.random.randint(rng, (), 0, len(speeds))
     branches = []
     for s in speeds:
-        new_len = int(round(L * 100.0 / s))
-
-        def branch(w, new_len=new_len):
-            out = _interp_linear(w[..., None], new_len, L)[..., 0]
+        def branch(w, s=s):
+            if s == 100:
+                return w, jnp.float32(1.0)
+            # speed s% => resample 100 -> s (fewer samples = faster)
+            out = resample_device(w, 100, s)
+            new_len = out.shape[1]
             if new_len >= L:
-                return out[:, :L], jnp.float32(new_len / L)
+                return out[:, :L], jnp.float32(min(new_len, L) / L)
             pad = jnp.zeros((B, L - new_len), w.dtype)
             return jnp.concatenate([out, pad], axis=1), \
                 jnp.float32(new_len / L)
