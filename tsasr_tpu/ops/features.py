@@ -92,6 +92,12 @@ def stft(x, sample_rate=16000, win_length=25.0, hop_length=10.0, n_fft=400,
     ms-based window/hop, periodic hamming window, center zero-padding.
     When ``win_length < n_fft`` the window is zero-padded symmetrically to
     ``n_fft`` as torch.stft does.
+
+    TPU implementation: the windowed DFT is ONE strided convolution with
+    the (window ⊙ DFT basis) rows as filters — the conv's implicit im2col
+    replaces the explicit framing gather (which dominated feature time),
+    and the contraction runs on the MXU at full f32 (log-compression
+    downstream makes bf16 matmul noise audible).
     """
     win = _ms_to_samples(sample_rate, win_length)
     hop = _ms_to_samples(sample_rate, hop_length)
@@ -101,19 +107,36 @@ def stft(x, sample_rate=16000, win_length=25.0, hop_length=10.0, n_fft=400,
         window = np.pad(window, (left, n_fft - win - left))
     elif win > n_fft:
         raise ValueError(f"win_length ({win}) > n_fft ({n_fft})")
-    frames = frame_signal(x, n_fft, hop, center=center)
-    frames = frames * jnp.asarray(window)[None, None, :]
     if use_fft:
+        frames = frame_signal(x, n_fft, hop, center=center)
+        frames = frames * jnp.asarray(window)[None, None, :]
         spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
         return jnp.real(spec), jnp.imag(spec)
+    if center:
+        pad = n_fft // 2
+        x = jnp.pad(x, ((0, 0), (pad, pad)))
+    cos_f, sin_f = _windowed_dft_filters_cached(n_fft, win)
+    spec = jax.lax.conv_general_dilated(
+        x[:, None, :],
+        jnp.asarray(np.concatenate([cos_f, sin_f], axis=0)),
+        window_strides=(hop,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST)       # (B, 2F, T)
+    n_bins = n_fft // 2 + 1
+    spec = jnp.swapaxes(spec, 1, 2)                 # (B, T, 2F)
+    return spec[..., :n_bins], spec[..., n_bins:]
+
+
+@functools.lru_cache(maxsize=8)
+def _windowed_dft_filters_cached(n_fft, win):
+    window = _hamming_window(win)
+    if win < n_fft:
+        left = (n_fft - win) // 2
+        window = np.pad(window, (left, n_fft - win - left))
     cos_m, sin_m = _dft_matrices(n_fft)
-    # full f32 on the MXU: feature values feed log-compression, where
-    # bf16 matmul noise would be audible in the normalized features
-    re = jnp.matmul(frames, jnp.asarray(cos_m),
-                    precision=jax.lax.Precision.HIGHEST)
-    im = jnp.matmul(frames, jnp.asarray(sin_m),
-                    precision=jax.lax.Precision.HIGHEST)
-    return re, im
+    cos_f = (cos_m * window[:, None]).T[:, None, :]   # (F, 1, n_fft)
+    sin_f = (sin_m * window[:, None]).T[:, None, :]
+    return cos_f.astype(np.float32), sin_f.astype(np.float32)
 
 
 def spectral_magnitude(re, im, power=1, log=False, eps=1e-14):
