@@ -26,7 +26,17 @@ BASELINE_SAMPLES_PER_SEC_PER_CHIP = 8.0   # documented estimate, see above
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compilation cache: compiles over the TPU tunnel are
+    # slow and variable; priming this dir makes reruns start in seconds
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
     import optax
 
@@ -84,23 +94,53 @@ def main():
         updates, opt_state2 = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state2, loss
 
-    step = jax.jit(train_step, donate_argnums=(0, 1))
+    # Multiple optimizer steps per dispatch (lax.scan over a stack of
+    # distinct batches): measures device throughput rather than
+    # host/tunnel dispatch latency — the real production shape, where
+    # the input pipeline runs ahead of the device. Distinct per-step
+    # batches keep XLA from hoisting any batch compute out of the loop.
+    steps_per_call = int(os.environ.get("BENCH_STEPS_PER_CALL", "5"))
+    wavs = jnp.asarray(
+        rng.normal(size=(steps_per_call, B, mix_sec * sr)) * 0.1,
+        jnp.float32)
+    enrolls = jnp.asarray(
+        rng.normal(size=(steps_per_call, B, enr_sec * sr)) * 0.1,
+        jnp.float32)
+    tokens_stack = jnp.asarray(
+        rng.integers(1, 29, size=(steps_per_call, B, U + 1)),
+        jnp.int32).at[:, :, 0].set(0)
 
-    # warmup / compile
-    params, opt_state, loss = step(params, opt_state, wav, enroll, rel,
-                                   tokens_bos)
-    loss.block_until_ready()
+    def multi_step(params, opt_state, wavs, enrolls, rel, tokens_stack):
+        def body(carry, xs):
+            p, o = carry
+            w, e, tb = xs
+            p, o, loss = train_step(p, o, w, e, rel, tb)
+            return (p, o), loss
 
-    n_steps = 10
-    start = time.perf_counter()
-    for _ in range(n_steps):
-        params, opt_state, loss = step(params, opt_state, wav, enroll,
-                                       rel, tokens_bos)
-    loss.block_until_ready()
-    elapsed = time.perf_counter() - start
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (wavs, enrolls, tokens_stack))
+        return params, opt_state, losses[-1]
+
+    step = jax.jit(multi_step, donate_argnums=(0, 1))
+
+    # warmup: compile AND pay the tunnel's one-time first-readback setup
+    # (~80 s on this deployment) outside the timed section
+    params, opt_state, loss = step(params, opt_state, wavs, enrolls,
+                                   rel, tokens_stack)
+    float(loss)
+
+    n_calls = 5
+    times = []
+    for _ in range(n_calls):
+        start = time.perf_counter()
+        params, opt_state, loss = step(params, opt_state, wavs, enrolls,
+                                       rel, tokens_stack)
+        float(loss)   # real device->host read: cannot return early
+        times.append(time.perf_counter() - start)
+    per_call = float(np.median(times))
 
     n_chips = max(len(jax.devices()), 1)
-    samples_per_sec_per_chip = (B * n_steps) / elapsed / n_chips
+    samples_per_sec_per_chip = (B * steps_per_call) / per_call / n_chips
     print(json.dumps({
         "metric": "train_samples_per_sec_per_chip",
         "value": round(samples_per_sec_per_chip, 3),
