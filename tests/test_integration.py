@@ -129,3 +129,43 @@ class TestDebugExperiment:
         # resolved hyperparams + env snapshot exist
         assert os.path.exists(os.path.join(out_dir, "hyperparams.yaml"))
         assert os.path.exists(os.path.join(out_dir, "env.log"))
+
+
+class TestPretrainedVariantDebug:
+    def test_pretrained_variant_with_stub_embeddings(self, synth_data,
+                                                     tmp_path,
+                                                     monkeypatch):
+        """The wavlm variant end-to-end with a stubbed (deterministic)
+        d-vector provider — exercises the external-speaker-embedding
+        path without the HF model."""
+        import tsasr_tpu.recipes.speaker_embeddings as se
+        from tsasr_tpu.recipes.librispeechmix import run_experiment
+
+        def fake_xvector(waveform, sample_rate, model_path):
+            rng_local = np.random.default_rng(len(waveform))
+            return rng_local.normal(size=512).astype(np.float32)
+
+        monkeypatch.setattr(se, "compute_xvector", fake_xvector)
+        monkeypatch.chdir(tmp_path)
+        hparams = os.path.join(os.path.dirname(__file__), "..",
+                               "hparams", "LibriSpeechMix",
+                               "conformer-t_wavlm.yaml")
+        chars = set()
+        for split in ("train-2mix", "dev-clean-2mix", "test-clean-2mix"):
+            with open(os.path.join(synth_data, f"{split}.jsonl")) as f:
+                for line in f:
+                    for text in json.loads(line)["texts"]:
+                        chars.update("▁" + text.replace(" ", "▁"))
+        brain = run_experiment(variant="pretrained", argv=[
+            hparams, "--data_folder", synth_data,
+            "--debug", "--noprogressbar",
+            "--vocab_size", str(len(chars) + 1),
+            "--encoder_num_layers", "1", "--d_ffn", "64",
+            "--d_model", "32", "--nhead", "4",
+            "--decoder_neurons", "24", "--joint_dim", "48",
+            "--num_epochs", "1", "--beam_size", "1",
+            "--augment", "true",       # also exercises in-jit SpecAugment
+        ])
+        out_dir = "results/LibriSpeechMix/Conformer-T_WavLM/0"
+        log = open(os.path.join(out_dir, "train_log.txt")).read()
+        assert "valid WER" in log
