@@ -169,3 +169,75 @@ class TestPretrainedVariantDebug:
         out_dir = "results/LibriSpeechMix/Conformer-T_WavLM/0"
         log = open(os.path.join(out_dir, "train_log.txt")).read()
         assert "valid WER" in log
+
+
+class TestResumeAndPromptTest:
+    def test_fit_resume_from_checkpoint(self, synth_data, tmp_path,
+                                        monkeypatch):
+        """Elastic resume: a second fit() run recovers epoch counter +
+        params from the checkpoint and continues (reference §5.3/5.4)."""
+        from tsasr_tpu.recipes.librispeechmix import run_experiment
+
+        monkeypatch.chdir(tmp_path)
+        hparams = os.path.join(os.path.dirname(__file__), "..",
+                               "hparams", "LibriSpeechMix",
+                               "conformer-t_none.yaml")
+        chars = set()
+        for split in ("train-2mix", "dev-clean-2mix", "test-clean-2mix"):
+            with open(os.path.join(synth_data, f"{split}.jsonl")) as f:
+                for line in f:
+                    for text in json.loads(line)["texts"]:
+                        chars.update("▁" + text.replace(" ", "▁"))
+        args = [hparams, "--data_folder", synth_data,
+                "--noprogressbar",
+                "--vocab_size", str(len(chars) + 1),
+                "--encoder_num_layers", "1", "--d_ffn", "64",
+                "--d_model", "32", "--nhead", "4",
+                "--decoder_neurons", "24", "--joint_dim", "48",
+                "--beam_size", "1", "--valid_search_freq", "1",
+                "--train_remove_if_longer", "3.0",
+                "--num_buckets", "2"]
+        brain1 = run_experiment(variant="none",
+                                argv=args + ["--num_epochs", "1"])
+        step1 = brain1.optimizer_step
+        assert brain1.checkpointer.list_checkpoints()
+        # second run: resumes past epoch 1, trains epoch 2
+        brain2 = run_experiment(variant="none",
+                                argv=args + ["--num_epochs", "2"])
+        log = open("results/LibriSpeechMix/Conformer-T_None/0/"
+                   "train_log.txt").read()
+        assert "epoch: 2" in log
+        assert brain2.optimizer_step >= step1
+
+    def test_prompt_test_two_pass(self, synth_data, tmp_path,
+                                  monkeypatch):
+        """prompt_test mode: pass 1 transcribes enrollments, pass 2
+        transcribes prompted mixtures and strips the enrollment
+        transcripts (reference :660-687)."""
+        from tsasr_tpu.recipes.librispeechmix import run_experiment
+
+        monkeypatch.chdir(tmp_path)
+        hparams = os.path.join(os.path.dirname(__file__), "..",
+                               "hparams", "LibriSpeechMix",
+                               "conformer-t_none.yaml")
+        chars = set()
+        for split in ("train-2mix", "dev-clean-2mix", "test-clean-2mix"):
+            with open(os.path.join(synth_data, f"{split}.jsonl")) as f:
+                for line in f:
+                    for text in json.loads(line)["texts"]:
+                        chars.update("▁" + text.replace(" ", "▁"))
+        run_experiment(variant="none", argv=[
+            hparams, "--data_folder", synth_data,
+            "--debug", "--noprogressbar",
+            "--vocab_size", str(len(chars) + 1),
+            "--encoder_num_layers", "1", "--d_ffn", "64",
+            "--d_model", "32", "--nhead", "4",
+            "--decoder_neurons", "24", "--joint_dim", "48",
+            "--num_epochs", "1", "--beam_size", "1",
+            "--prompt_test", "true",
+        ])
+        out_dir = "results/LibriSpeechMix/Conformer-T_None/0"
+        assert os.path.exists(os.path.join(out_dir,
+                                           "wer_enrollments.txt"))
+        assert os.path.exists(os.path.join(
+            out_dir, "wer_test-clean-2mix.txt"))
