@@ -119,3 +119,76 @@ class TestOfflineTranscriber:
         out = transcriber.transcribe_batch(wavs)
         assert len(out) == 2
         assert all(isinstance(t, str) for t in out)
+
+
+class TestKVCacheStreaming:
+    def test_encode_stream_matches_offline(self, rng):
+        """Constant-time streaming encode (KV/conv/frontend caches) must
+        reproduce the offline causal encoder exactly."""
+        model, params = make_causal_model(rng)
+        feats = jnp.asarray(rng.normal(size=(2, 16, 80)), jnp.float32)
+        offline = model.apply(params, feats, None, None, None,
+                              method=model.encode)
+
+        state = model.apply(params, 2, 32,
+                            method=model.init_stream_state)
+        outs = []
+        for lo in range(0, 16, 4):
+            out, state = model.apply(params, feats[:, lo:lo + 4], state,
+                                     method=model.encode_stream)
+            outs.append(out)
+        streamed = jnp.concatenate(outs, axis=1)
+        assert streamed.shape == offline.shape
+        np.testing.assert_allclose(np.asarray(streamed),
+                                   np.asarray(offline), atol=2e-4)
+
+    def test_stream_chunk_size_invariance(self, rng):
+        model, params = make_causal_model(rng)
+        feats = jnp.asarray(rng.normal(size=(1, 16, 80)), jnp.float32)
+
+        def run(chunk):
+            state = model.apply(params, 1, 32,
+                                method=model.init_stream_state)
+            outs = []
+            for lo in range(0, 16, chunk):
+                out, state = model.apply(params,
+                                         feats[:, lo:lo + chunk], state,
+                                         method=model.encode_stream)
+                outs.append(out)
+            return jnp.concatenate(outs, axis=1)
+
+        np.testing.assert_allclose(np.asarray(run(4)),
+                                   np.asarray(run(8)), atol=2e-4)
+
+
+class TestKVCacheTranscriber:
+    def test_kv_mode_matches_offline_greedy(self, rng):
+        """kv_cache streaming transcription == offline greedy on
+        unnormalized features (white noise keeps the fbank dynamic
+        range under the 80 dB clamp, so per-chunk features are exact)."""
+        from tsasr_tpu.decoding import TransducerGreedySearcher
+        from tsasr_tpu.inference import StreamingTranscriber
+        from tsasr_tpu.ops import Fbank
+
+        model, params = make_causal_model(rng)
+        tok = make_tokenizer()
+        sr = 16000
+        wav = (rng.normal(size=2 * sr) * 0.1).astype(np.float32)
+
+        fbank = Fbank(sample_rate=sr, n_fft=512, n_mels=80,
+                      win_length=32.0)
+        feats = fbank(jnp.asarray(wav)[None])
+        T4 = (feats.shape[1] // 4) * 4   # streaming drops the <4 tail
+        enc = model.apply(params, feats[:, :T4], None, None, None,
+                          method=model.encode)
+        greedy = TransducerGreedySearcher(model, params, 0)
+        offline_hyps, _, _, _ = greedy(enc, jnp.ones(1))
+
+        streamer = StreamingTranscriber(model, params, tok,
+                                        sample_rate=sr, mode="kv_cache")
+        chunk = len(wav) // 5
+        for i in range(5):
+            streamer.accept_chunk(wav[i * chunk: (i + 1) * chunk])
+        streamer.accept_chunk(wav[5 * chunk:])
+        streamer.finalize()
+        assert streamer._tokens == offline_hyps[0]

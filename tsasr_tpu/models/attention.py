@@ -18,6 +18,7 @@ stays finite (mirrors the reference's fp16 fill of -65000,
 
 import math
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -61,7 +62,15 @@ def _rel_shift(x, klen, causal=False):
 
 
 class RelPosMHAXL(nn.Module):
-    """Relative-position multi-head self-attention (Transformer-XL style)."""
+    """Relative-position multi-head self-attention (Transformer-XL style).
+
+    Streaming: pass ``kv_cache = {"k": (B,C,H,Dh), "v": (B,C,H,Dh),
+    "count": (B,) int32}`` (a fixed-capacity buffer of past keys/values)
+    to attend causally over cache + new frames in O(Q·(C+Q)); the
+    returned dict holds the updated cache. The relative-position scores
+    use a direct distance lookup (the square rel-shift trick assumes
+    qlen == klen).
+    """
 
     embed_dim: int
     num_heads: int
@@ -71,7 +80,7 @@ class RelPosMHAXL(nn.Module):
 
     @nn.compact
     def __call__(self, x, pos_emb, key_padding_mask=None, attn_mask=None,
-                 deterministic=True):
+                 deterministic=True, kv_cache=None):
         """
         Arguments
         ---------
@@ -79,6 +88,7 @@ class RelPosMHAXL(nn.Module):
         pos_emb : (1, 2T-1, D) relative positional encoding.
         key_padding_mask : (B, T) bool, True = masked (padding).
         attn_mask : (T, T) bool, True = masked (e.g. lookahead).
+        kv_cache : streaming state (see class docstring) or None.
         """
         B, T, D = x.shape
         H = self.num_heads
@@ -90,15 +100,21 @@ class RelPosMHAXL(nn.Module):
                        dtype=self.dtype, name="qkv_proj")(x)
         q, k, v = jnp.split(qkv.reshape(B, T, H, 3 * Dh), 3, axis=-1)
 
-        p_k = nn.Dense(D, use_bias=False, kernel_init=xavier,
-                       dtype=self.dtype, name="pos_proj")(pos_emb)
-        p_k = p_k.reshape(1, -1, H, Dh)                      # (1, 2T-1, H, Dh)
+        pos_proj = nn.Dense(D, use_bias=False, kernel_init=xavier,
+                            dtype=self.dtype, name="pos_proj")
 
         pos_bias_u = self.param("pos_bias_u", xavier, (H, Dh))
         pos_bias_v = self.param("pos_bias_v", xavier, (H, Dh))
 
         q_u = q + pos_bias_u[None, None].astype(q.dtype)
         q_v = q + pos_bias_v[None, None].astype(q.dtype)
+
+        if kv_cache is not None:
+            return self._streaming_attention(
+                q_u, q_v, k, v, kv_cache, pos_proj, deterministic)
+
+        p_k = pos_proj(pos_emb)
+        p_k = p_k.reshape(1, -1, H, Dh)                  # (1, 2T-1, H, Dh)
 
         # content scores (B, H, T, T)
         ac = jnp.einsum("bthd,bshd->bhts", q_u, k)
@@ -125,6 +141,67 @@ class RelPosMHAXL(nn.Module):
         out = nn.Dense(D, kernel_init=xavier, dtype=self.dtype,
                        name="out_proj")(out)
         return out, attn
+
+    def _streaming_attention(self, q_u, q_v, k_new, v_new, kv_cache,
+                             pos_proj, deterministic):
+        """Causal attention of Q new frames over cache + new frames."""
+        B, Q, H, Dh = q_u.shape
+        D = H * Dh
+        k_cache, v_cache = kv_cache["k"], kv_cache["v"]
+        count = kv_cache["count"]                        # (B,)
+        C = k_cache.shape[1]
+
+        # write the new keys/values into the buffer (per-batch offsets
+        # are identical in practice; use the max for the static slice)
+        def write(buf, new):
+            return jax.lax.dynamic_update_slice(
+                buf, new.astype(buf.dtype),
+                (0, jnp.max(count), 0, 0))
+
+        k_all = write(k_cache, k_new)
+        v_all = write(v_cache, v_new)
+        new_count = count + Q
+
+        # distances d = (count + i) - j for query i, key j in [0, C)
+        j_idx = jnp.arange(C)[None, None, :]             # (1, 1, C)
+        i_idx = jnp.arange(Q)[None, :, None]             # (1, Q, 1)
+        dist = count[:, None, None] + i_idx - j_idx      # (B, Q, C)
+        valid = (dist >= 0) & (j_idx < new_count[:, None, None])
+
+        # positional table for distances 0..C-1: enc(d)
+        max_d = C
+        pe = _past_pos_encoding(max_d, D, self.dtype)    # (max_d, D)
+        p = pos_proj(pe).reshape(max_d, H, Dh)
+
+        ac = jnp.einsum("bqhd,bshd->bhqs", q_u, k_all)   # (B, H, Q, C)
+        bd_all = jnp.einsum("bqhd,rhd->bhqr", q_v, p)    # (B, H, Q, R)
+        dist_c = jnp.clip(dist, 0, max_d - 1)            # (B, Q, C)
+        bd = jnp.take_along_axis(
+            bd_all, jnp.broadcast_to(dist_c[:, None], (B, H, Q, C)),
+            axis=-1)
+        scores = (ac + bd) * (1.0 / math.sqrt(self.embed_dim))
+        scores = jnp.where(valid[:, None], scores, ATTN_FILL)
+
+        attn = nn.softmax(scores.astype(jnp.float32), axis=-1)
+        attn = attn.astype(self.dtype)
+        out = jnp.einsum("bhqs,bshd->bqhd", attn, v_all).reshape(B, Q, D)
+        out = nn.Dense(D, kernel_init=nn.initializers.xavier_normal(),
+                       dtype=self.dtype, name="out_proj")(out)
+        new_cache = {"k": k_all, "v": v_all, "count": new_count}
+        return (out, attn), new_cache
+
+
+def _past_pos_encoding(n, emb_dim, dtype=jnp.float32):
+    """enc(d) for distances d = 0..n-1 (the 'past' half of the
+    reference's symmetric relative encoding)."""
+    inv_freq = jnp.exp(jnp.arange(0, emb_dim, 2, dtype=jnp.float32)
+                       * -(math.log(10000.0) / emb_dim))
+    d = jnp.arange(n, dtype=jnp.float32)[:, None]
+    angles = d * inv_freq[None, :]
+    pe = jnp.zeros((n, emb_dim), jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(angles))
+    pe = pe.at[:, 1::2].set(jnp.cos(angles))
+    return pe.astype(dtype)
 
 
 class CrossAttention(nn.Module):

@@ -69,14 +69,29 @@ class ConvolutionModule(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, pad_mask=None, deterministic=True):
-        """x: (B, T, D); pad_mask: (B, T) bool, True = padding."""
-        out = nn.LayerNorm(dtype=self.dtype)(x)
+    def __call__(self, x, pad_mask=None, deterministic=True,
+                 conv_cache=None):
+        """x: (B, T, D); pad_mask: (B, T) bool, True = padding.
+
+        Streaming: ``conv_cache`` is the last kernel_size-1 input frames
+        (zero-initialized, which equals the offline causal left-pad);
+        returns (out, new_cache) when given.
+        """
+        streaming = conv_cache is not None
+        if streaming:
+            Q = x.shape[1]
+            x_in = jnp.concatenate([conv_cache.astype(x.dtype), x],
+                                   axis=1)
+        else:
+            x_in = x
+        out = nn.LayerNorm(dtype=self.dtype)(x_in)
         out = nn.Dense(2 * self.d_model, kernel_init=xavier_normal(),
                        dtype=self.dtype, name="pointwise_in")(out)
         a, b = jnp.split(out, 2, axis=-1)
         out = a * nn.sigmoid(b)                         # GLU
-        if self.causal:
+        if streaming:
+            padding = [(0, 0)]       # the cache IS the left context
+        elif self.causal:
             padding = [(self.kernel_size - 1, 0)]
         else:
             padding = [((self.kernel_size - 1) // 2,
@@ -92,6 +107,9 @@ class ConvolutionModule(nn.Module):
         out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
         if pad_mask is not None:
             out = jnp.where(pad_mask[..., None], 0.0, out)
+        if streaming:
+            new_cache = x_in[:, -(self.kernel_size - 1):]
+            return out, new_cache
         return out
 
 
@@ -109,7 +127,11 @@ class ConformerEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, pos_emb, key_padding_mask=None, attn_mask=None,
-                 deterministic=True):
+                 deterministic=True, layer_state=None):
+        """Streaming: ``layer_state = {"attn": kv_cache, "conv": frames}``
+        processes x as NEW frames appended to the cached history; returns
+        (x, attn_w, new_state)."""
+        streaming = layer_state is not None
         # Macaron FFN (1/2)
         ff1 = nn.LayerNorm(dtype=self.dtype)(x)
         ff1 = FeedForward(self.d_ffn, self.d_model, self.dropout,
@@ -121,20 +143,33 @@ class ConformerEncoderLayer(nn.Module):
         # Self-attention
         skip = x
         attn_in = nn.LayerNorm(dtype=self.dtype, name="norm_mha")(x)
-        attn_out, attn_w = RelPosMHAXL(
+        mha = RelPosMHAXL(
             embed_dim=self.d_model, num_heads=self.nhead,
             dropout=self.dropout, mask_pos_future=self.causal,
-            dtype=self.dtype, name="mha")(
+            dtype=self.dtype, name="mha")
+        if streaming:
+            (attn_out, attn_w), new_attn_state = mha(
+                attn_in, pos_emb, deterministic=deterministic,
+                kv_cache=layer_state["attn"])
+        else:
+            attn_out, attn_w = mha(
                 attn_in, pos_emb, key_padding_mask=key_padding_mask,
                 attn_mask=attn_mask, deterministic=deterministic)
         x = skip + attn_out
 
         # Convolution module
-        x = x + ConvolutionModule(
+        conv = ConvolutionModule(
             self.d_model, self.kernel_size, causal=self.causal,
             dropout=self.dropout, activation=self.activation,
-            dtype=self.dtype, name="conv")(
-                x, pad_mask=key_padding_mask, deterministic=deterministic)
+            dtype=self.dtype, name="conv")
+        if streaming:
+            conv_out, new_conv_cache = conv(
+                x, deterministic=deterministic,
+                conv_cache=layer_state["conv"])
+            x = x + conv_out
+        else:
+            x = x + conv(x, pad_mask=key_padding_mask,
+                         deterministic=deterministic)
 
         # Macaron FFN (2/2) + final norm
         ff2 = nn.LayerNorm(dtype=self.dtype)(x)
@@ -143,6 +178,9 @@ class ConformerEncoderLayer(nn.Module):
                           name="ffn2")(ff2, deterministic)
         ff2 = nn.Dropout(self.dropout, deterministic=deterministic)(ff2)
         x = nn.LayerNorm(dtype=self.dtype, name="norm_out")(x + 0.5 * ff2)
+        if streaming:
+            return x, attn_w, {"attn": new_attn_state,
+                               "conv": new_conv_cache}
         return x, attn_w
 
 
@@ -170,7 +208,7 @@ class TSConformerEncoder(nn.Module):
     @nn.compact
     def __call__(self, src, rel_lengths=None, speaker_embs=None,
                  speaker_embs_length=None, deterministic=True,
-                 return_attn=False):
+                 return_attn=False, stream_states=None):
         """
         Arguments
         ---------
@@ -179,17 +217,22 @@ class TSConformerEncoder(nn.Module):
         speaker_embs : (B, 1, D) pooled (or (B, S, D) for cross_attention).
         speaker_embs_length : (B,) relative lengths of speaker_embs
             (cross_attention mode only).
+        stream_states : per-layer streaming caches (causal models only):
+            src is then the NEW frames and the call returns
+            (out, new_stream_states).
         """
         if src.ndim == 4:
             b, t, c1, c2 = src.shape
             src = src.reshape(b, t, c1 * c2)
         B, T, _ = src.shape
+        streaming = stream_states is not None
 
         key_padding_mask = None
-        if rel_lengths is not None:
+        if rel_lengths is not None and not streaming:
             abs_len = jnp.round(rel_lengths * T).astype(jnp.int32)
             key_padding_mask = ~length_to_mask(abs_len, T)
-        attn_mask = lookahead_mask(T) if self.causal else None
+        attn_mask = lookahead_mask(T) \
+            if (self.causal and not streaming) else None
 
         x = nn.Dense(self.d_model, kernel_init=xavier_normal(),
                      dtype=self.dtype, name="input_proj")(src)
@@ -206,27 +249,36 @@ class TSConformerEncoder(nn.Module):
         pos_emb = rel_pos_encoding(T, self.d_model, dtype=self.dtype)
 
         layer_cls = ConformerEncoderLayer
-        if self.remat:
+        if self.remat and not streaming:
             # trade recompute for activation memory (jax.checkpoint):
             # long-utterance training (T up to 1500 frames) fits HBM
             layer_cls = nn.remat(ConformerEncoderLayer,
                                  static_argnums=(5,))
 
         attns = []
+        new_states = []
         for i in range(self.num_layers):
-            x, attn_w = layer_cls(
+            layer = layer_cls(
                 d_model=self.d_model, d_ffn=self.d_ffn, nhead=self.nhead,
                 kernel_size=self.kernel_size, dropout=self.dropout,
                 causal=self.causal, activation=self.activation,
-                dtype=self.dtype, name=f"layer_{i}")(
-                    x, pos_emb, key_padding_mask, attn_mask,
-                    deterministic)
+                dtype=self.dtype, name=f"layer_{i}")
+            if streaming:
+                x, attn_w, state = layer(x, pos_emb, None, None,
+                                         deterministic,
+                                         stream_states[i])
+                new_states.append(state)
+            else:
+                x, attn_w = layer(x, pos_emb, key_padding_mask,
+                                  attn_mask, deterministic)
             if return_attn:
                 attns.append(attn_w)
             if i in injection_after and speaker_embs is not None:
                 x = inject(x, deterministic)
 
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        if streaming:
+            return x, new_states
         if return_attn:
             return x, attns
         return x

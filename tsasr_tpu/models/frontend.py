@@ -52,14 +52,28 @@ class ConvBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic=True):
+    def __call__(self, x, deterministic=True, block_cache=None):
+        """Streaming (causal only): ``block_cache`` holds the last
+        kernel_size-1 input time-rows (zero-init == the offline causal
+        left-pad); x is the NEW rows (count divisible by the stride).
+        Returns (out, new_cache)."""
+        streaming = block_cache is not None
         k = (self.kernel_size, self.kernel_size)
-        out = x
+        if streaming:
+            x_ext = jnp.concatenate([block_cache.astype(x.dtype), x],
+                                    axis=1)
+        else:
+            x_ext = x
+        out = x_ext
         for i in range(self.num_layers):
             s = (self.stride, self.stride) if i == self.num_layers - 1 \
                 else (1, 1)
+            if streaming:
+                pad = [(0, 0), _pad_amounts(k, s, True)[1]]
+            else:
+                pad = _pad_amounts(k, s, self.causal)
             out = nn.Conv(self.out_channels, kernel_size=k, strides=s,
-                          padding=_pad_amounts(k, s, self.causal),
+                          padding=pad,
                           dtype=self.dtype, name=f"conv_{i}")(out)
             out = nn.LayerNorm(dtype=self.dtype, name=f"norm_{i}")(out)
             out = self.activation(out)
@@ -73,6 +87,8 @@ class ConvBlock(nn.Module):
             res = nn.LayerNorm(dtype=self.dtype, name="residual_norm")(res)
             out = out + res
             out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
+        if streaming:
+            return out, x_ext[:, -(self.kernel_size - 1):]
         return out
 
 
@@ -90,18 +106,36 @@ class ConvolutionFrontEnd(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic=True):
-        """x: (B, T, F) features -> (B, T', F', C) subsampled maps."""
+    def __call__(self, x, deterministic=True, stream_caches=None):
+        """x: (B, T, F) features -> (B, T', F', C) subsampled maps.
+
+        Streaming (causal frontends): ``stream_caches`` is a per-block
+        list of cached input rows; x holds the NEW feature frames (count
+        divisible by the total stride product); returns (out, caches).
+        """
+        streaming = stream_caches is not None
+        if streaming and self.num_layers_per_block != 1:
+            raise NotImplementedError(
+                "streaming frontend supports num_layers_per_block == 1")
         if x.ndim == 3:
             x = x[..., None]
+        new_caches = []
         for i, (ch, k, s, r) in enumerate(zip(
                 self.out_channels, self.kernel_sizes, self.strides,
                 self.residuals)):
-            x = ConvBlock(out_channels=ch, kernel_size=k, stride=s,
-                          residual=r, num_layers=self.num_layers_per_block,
-                          dropout=self.dropout, causal=self.causal,
-                          activation=self.activation, dtype=self.dtype,
-                          name=f"block_{i}")(x, deterministic)
+            block = ConvBlock(out_channels=ch, kernel_size=k, stride=s,
+                              residual=r,
+                              num_layers=self.num_layers_per_block,
+                              dropout=self.dropout, causal=self.causal,
+                              activation=self.activation,
+                              dtype=self.dtype, name=f"block_{i}")
+            if streaming:
+                x, cache = block(x, deterministic, stream_caches[i])
+                new_caches.append(cache)
+            else:
+                x = block(x, deterministic)
+        if streaming:
+            return x, new_caches
         return x
 
     @staticmethod

@@ -242,6 +242,55 @@ class TSTransducer(nn.Module):
                          deterministic=deterministic)
         return self.encoder_proj(x)
 
+    def encode_stream(self, feats_new, stream_state, speaker_embs=None,
+                      speaker_rel_lens=None):
+        """Constant-time streaming encode (causal models): process only
+        the NEW feature frames against cached frontend rows and per-layer
+        attention K/V + conv states. Returns (enc_proj_new, new_state).
+
+        ``feats_new`` length must be divisible by the frontend stride
+        product (4 for the recipe config).
+        """
+        x, frontend_caches = self.frontend(
+            feats_new, deterministic=True,
+            stream_caches=stream_state["frontend"])
+        x, encoder_states = self.encoder(
+            x, speaker_embs=speaker_embs,
+            speaker_embs_length=speaker_rel_lens, deterministic=True,
+            stream_states=stream_state["encoder"])
+        new_state = {"frontend": frontend_caches,
+                     "encoder": encoder_states}
+        return self.encoder_proj(x), new_state
+
+    def init_stream_state(self, batch_size, capacity):
+        """Zero streaming state; ``capacity`` = max encoder frames kept
+        in the attention K/V buffers."""
+        c = self.config
+        B = batch_size
+        n_mels = c.n_mels
+        frontend = []
+        freq = n_mels
+        ch = 1
+        for k, s, out_ch in zip((3, 3), tuple(c.frontend_strides),
+                                tuple(c.frontend_channels)):
+            frontend.append(jnp.zeros((B, k - 1, freq, ch), c.dtype))
+            freq = -(-freq // s)
+            ch = out_ch
+        H = c.nhead
+        Dh = c.d_model // H
+        encoder = []
+        for _ in range(c.encoder_num_layers):
+            encoder.append({
+                "attn": {
+                    "k": jnp.zeros((B, capacity, H, Dh), c.dtype),
+                    "v": jnp.zeros((B, capacity, H, Dh), c.dtype),
+                    "count": jnp.zeros((B,), jnp.int32),
+                },
+                "conv": jnp.zeros((B, c.kernel_size - 1, c.d_model),
+                                  c.dtype),
+            })
+        return {"frontend": frontend, "encoder": encoder}
+
     def encode_with_attn(self, feats, rel_lens, speaker_embs=None,
                          speaker_rel_lens=None):
         """Like ``encode`` but also returns per-layer attention maps
