@@ -37,7 +37,11 @@ import jax
 import jax.numpy as jnp
 
 NEG = -1e30
-_VMEM_BUDGET = 100 * 1024 * 1024   # HBM->VMEM spill guard, bytes
+# VMEM is ~16 MiB/core; the kernel holds lpb+lpl (input, aliased to the
+# grad outputs) + alpha (scratch) per block, and Pallas double-buffers
+# the inputs across grid steps, so keep the per-block footprint well
+# under half of VMEM. Oversized lattices fall back to the XLA scan.
+_VMEM_BUDGET = 7 * 1024 * 1024
 _LANE = 128
 
 
@@ -138,7 +142,7 @@ def _rnnt_kernel(t_lens_ref, u_lens_ref, lpb_ref, lpl_ref, loss_ref,
     init = (jnp.full((block, U1), NEG), jnp.full((block, 1), NEG))
     _, logz = jax.lax.fori_loop(0, T, alpha_row, init)
 
-    loss_ref[...] = -logz
+    loss_ref[pl.ds(i * block, block), :] = -logz
 
     # ------------------------------------- phase 2: beta sweep + grads
     def beta_row(idx, beta_next):
@@ -208,11 +212,13 @@ def _pallas_lattice(lpb, lpl, t_lens, u_lens, blank=0, interpret=False):
 
     B, T, U1 = lpb.shape
     U1p = _round_up(U1, _LANE)
-    if U1p != U1:
-        lpb = jnp.pad(lpb, ((0, 0), (0, 0), (0, U1p - U1)),
+    Tp = _round_up(T, 8)          # sublane tiling constraint
+    if U1p != U1 or Tp != T:
+        lpb = jnp.pad(lpb, ((0, 0), (0, Tp - T), (0, U1p - U1)),
                       constant_values=NEG)
-        lpl = jnp.pad(lpl, ((0, 0), (0, 0), (0, U1p - U1)),
+        lpl = jnp.pad(lpl, ((0, 0), (0, Tp - T), (0, U1p - U1)),
                       constant_values=NEG)
+    T_orig, T = T, Tp
     block = _block_size(T, U1p)
     if block == 0:
         raise ValueError("lattice too large for the Pallas kernel")
@@ -240,7 +246,9 @@ def _pallas_lattice(lpb, lpl, t_lens, u_lens, blank=0, interpret=False):
             grid=grid,
             in_specs=[block_spec, block_spec],
             out_specs=(
-                pl.BlockSpec((block, 1), lambda i, *prefetch: (i, 0)),
+                # full-size loss block (a (1, 1) block would violate the
+                # sublane tiling constraint when block == 1)
+                pl.BlockSpec((Bp, 1), lambda i, *prefetch: (0, 0)),
                 block_spec,
                 block_spec,
             ),
@@ -252,7 +260,8 @@ def _pallas_lattice(lpb, lpl, t_lens, u_lens, blank=0, interpret=False):
         input_output_aliases={2: 1, 3: 2},  # lpb->dlpb, lpl->dlpl
         interpret=interpret,
     )(t_lens, u_lens, lpb, lpl)
-    return loss[:B, 0], dlpb[:B, :, :U1], dlpl[:B, :, :U1]
+    return (loss[:B, 0], dlpb[:B, :T_orig, :U1],
+            dlpl[:B, :T_orig, :U1])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
