@@ -180,9 +180,14 @@ class TSASRBrain(Brain):
                                * logits.shape[1]).astype(jnp.int32)
         target_lens = jnp.round(jnp.asarray(batch["tokens_lens"])
                                 * tokens.shape[1]).astype(jnp.int32)
+        # Under a multi-device mesh the batch is sharded; the fused
+        # Pallas kernel is a single-device custom call, so the sharded
+        # path uses the XLA wavefront (which partitions cleanly). A
+        # shard_map-wrapped kernel is the planned multi-chip fast path.
+        use_pallas = "auto" if self.mesh is None else False
         losses = rnnt_loss(logits, tokens, input_lens, target_lens,
                            blank=self.hparams.blank_index,
-                           reduction="none")
+                           reduction="none", use_pallas=use_pallas)
         w = jnp.asarray(batch["weight"])
         return jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1.0)
 
