@@ -192,3 +192,49 @@ class TestKVCacheTranscriber:
         streamer.accept_chunk(wav[5 * chunk:])
         streamer.finalize()
         assert streamer._tokens == offline_hyps[0]
+
+
+class TestBoundedContext:
+    def test_bounded_streaming_matches_bounded_offline(self, rng):
+        """att_context_size: offline bounded attention == streaming with
+        the same bound (train/infer consistency for true constant-memory
+        streaming)."""
+        cfg = TSTransducerConfig(
+            vocab_size=8, encoder_num_layers=2, d_model=32, nhead=4,
+            d_ffn=64, joint_dim=48, decoder_neurons=24, dropout=0.0,
+            injection_mode=None, use_speaker_encoder=False,
+            causal_encoder=True, frontend_causal=True,
+            att_context_size=2)
+        model = TSTransducer(cfg)
+        feats = jnp.asarray(rng.normal(size=(1, 24, 80)), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), feats, jnp.ones(1),
+                            jnp.zeros((1, 3), jnp.int32))
+        offline = model.apply(params, feats, None, None, None,
+                              method=model.encode)
+
+        state = model.apply(params, 1, 32,
+                            method=model.init_stream_state)
+        outs = []
+        for lo in range(0, 24, 4):
+            out, state = model.apply(params, feats[:, lo:lo + 4], state,
+                                     method=model.encode_stream)
+            outs.append(out)
+        streamed = jnp.concatenate(outs, axis=1)
+        np.testing.assert_allclose(np.asarray(streamed),
+                                   np.asarray(offline), atol=2e-4)
+
+    def test_bounded_differs_from_unbounded(self, rng):
+        cfg_kwargs = dict(
+            vocab_size=8, encoder_num_layers=1, d_model=32, nhead=4,
+            d_ffn=64, joint_dim=48, decoder_neurons=24, dropout=0.0,
+            injection_mode=None, use_speaker_encoder=False,
+            causal_encoder=True, frontend_causal=True)
+        m1 = TSTransducer(TSTransducerConfig(**cfg_kwargs))
+        m2 = TSTransducer(TSTransducerConfig(att_context_size=1,
+                                             **cfg_kwargs))
+        feats = jnp.asarray(rng.normal(size=(1, 24, 80)), jnp.float32)
+        params = m1.init(jax.random.PRNGKey(0), feats, jnp.ones(1),
+                         jnp.zeros((1, 3), jnp.int32))
+        o1 = m1.apply(params, feats, None, None, None, method=m1.encode)
+        o2 = m2.apply(params, feats, None, None, None, method=m2.encode)
+        assert not np.allclose(np.asarray(o1), np.asarray(o2))

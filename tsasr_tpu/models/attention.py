@@ -76,6 +76,7 @@ class RelPosMHAXL(nn.Module):
     num_heads: int
     dropout: float = 0.0
     mask_pos_future: bool = False
+    att_context_size: int = 0    # >0: attend only this many past keys
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -129,6 +130,13 @@ class RelPosMHAXL(nn.Module):
 
         if attn_mask is not None:
             scores = jnp.where(attn_mask[None, None], ATTN_FILL, scores)
+        if self.att_context_size > 0:
+            # bounded left context: key j visible to query i only when
+            # i - j < att_context_size (and j <= i if causal)
+            i_idx = jnp.arange(T)[:, None]
+            j_idx = jnp.arange(T)[None, :]
+            too_far = (i_idx - j_idx) >= self.att_context_size
+            scores = jnp.where(too_far[None, None], ATTN_FILL, scores)
         if key_padding_mask is not None:
             scores = jnp.where(key_padding_mask[:, None, None, :],
                                ATTN_FILL, scores)
@@ -167,6 +175,8 @@ class RelPosMHAXL(nn.Module):
         i_idx = jnp.arange(Q)[None, :, None]             # (1, Q, 1)
         dist = count[:, None, None] + i_idx - j_idx      # (B, Q, C)
         valid = (dist >= 0) & (j_idx < new_count[:, None, None])
+        if self.att_context_size > 0:
+            valid = valid & (dist < self.att_context_size)
 
         # positional table for distances 0..C-1: enc(d)
         max_d = C

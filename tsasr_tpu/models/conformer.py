@@ -122,6 +122,7 @@ class ConformerEncoderLayer(nn.Module):
     kernel_size: int = 31
     dropout: float = 0.0
     causal: bool = False
+    att_context_size: int = 0
     activation: Callable = nn.swish
     dtype: Dtype = jnp.float32
 
@@ -146,6 +147,7 @@ class ConformerEncoderLayer(nn.Module):
         mha = RelPosMHAXL(
             embed_dim=self.d_model, num_heads=self.nhead,
             dropout=self.dropout, mask_pos_future=self.causal,
+            att_context_size=self.att_context_size,
             dtype=self.dtype, name="mha")
         if streaming:
             (attn_out, attn_w), new_attn_state = mha(
@@ -199,6 +201,7 @@ class TSConformerEncoder(nn.Module):
     kernel_size: int = 31
     dropout: float = 0.0
     causal: bool = False
+    att_context_size: int = 0   # >0: bounded left attention context
     activation: Callable = jax.nn.leaky_relu
     injection_mode: Union[str, None] = None
     injection_after: Sequence[int] = (0,)
@@ -261,7 +264,9 @@ class TSConformerEncoder(nn.Module):
             layer = layer_cls(
                 d_model=self.d_model, d_ffn=self.d_ffn, nhead=self.nhead,
                 kernel_size=self.kernel_size, dropout=self.dropout,
-                causal=self.causal, activation=self.activation,
+                causal=self.causal,
+                att_context_size=self.att_context_size,
+                activation=self.activation,
                 dtype=self.dtype, name=f"layer_{i}")
             if streaming:
                 x, attn_w, state = layer(x, pos_emb, None, None,

@@ -49,6 +49,7 @@ class TSTransducerConfig:
     kernel_size: int = 31
     dropout: float = 0.1
     causal_encoder: bool = False
+    att_context_size: int = 0   # >0: bounded left attention context
     frontend_causal: bool = False
     frontend_channels: Sequence[int] = (128, 128)
     frontend_strides: Sequence[int] = (2, 2)
@@ -173,7 +174,9 @@ class TSTransducer(nn.Module):
             d_model=c.d_model, nhead=c.nhead,
             num_layers=c.encoder_num_layers, d_ffn=c.d_ffn,
             kernel_size=c.kernel_size, dropout=c.dropout,
-            causal=c.causal_encoder, injection_mode=c.injection_mode,
+            causal=c.causal_encoder,
+            att_context_size=c.att_context_size,
+            injection_mode=c.injection_mode,
             injection_after=(tuple(c.injection_after)
                              if isinstance(c.injection_after, (list, tuple))
                              else (c.injection_after,)),
