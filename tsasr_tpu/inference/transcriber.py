@@ -122,6 +122,15 @@ class TSASRTranscriber:
         return self.transcribe_batch(
             [wav], [enroll] if enroll is not None else None)[0]
 
+    def streaming(self, mode="kv_cache", **kwargs):
+        """A StreamingTranscriber sharing this model/params/tokenizer
+        (causal models; see tsasr_tpu.inference.streaming)."""
+        from tsasr_tpu.inference.streaming import StreamingTranscriber
+        return StreamingTranscriber(
+            self.model, self.params, self.tokenizer,
+            sample_rate=self.sample_rate, blank_index=self.blank_index,
+            mode=mode, **kwargs)
+
     def transcribe_file(self, path, enroll_path=None):
         from tsasr_tpu.data.audio import read_audio, resample
         wav, sr = read_audio(path)
