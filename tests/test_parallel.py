@@ -120,7 +120,7 @@ class TestGradAccumulation:
 
     def test_pad_batch_weights(self, rng):
         """shard_batch pads B to the data-axis multiple by duplication;
-        weighted losses must mask the padding (recipe behavior)."""
+        duplicated rows get weight 0 so weighted losses mask them."""
         from tsasr_tpu.parallel.mesh import pad_batch_to
         batch = {"x": np.arange(6, dtype=np.float32).reshape(6, 1),
                  "weight": np.ones(6, np.float32)}
@@ -128,3 +128,23 @@ class TestGradAccumulation:
         assert padded["x"].shape[0] == 8
         # duplicated rows are a wrap-around of the start
         np.testing.assert_allclose(padded["x"][6:, 0], [0.0, 1.0])
+        np.testing.assert_allclose(padded["weight"], [1] * 6 + [0, 0])
+
+    def test_sharded_loss_matches_unsharded_on_nondivisible_batch(self,
+                                                                  rng):
+        """Weighted mean over a padded+sharded non-divisible batch ==
+        the plain mean over the original batch."""
+        from tsasr_tpu.parallel.mesh import shard_batch
+        mesh = make_mesh(dp=8, tp=1)
+        x = rng.normal(size=(6, 3)).astype(np.float32)
+
+        def loss_fn(xs, w):
+            per_ex = jnp.sum(xs.astype(jnp.float32) ** 2, axis=-1)
+            return jnp.sum(per_ex * w) / jnp.sum(w)
+
+        ref = float(jax.jit(loss_fn)(jnp.asarray(x), jnp.ones(6)))
+        batch = shard_batch({"x": x, "weight": np.ones(6, np.float32)},
+                            mesh)
+        with mesh:
+            got = float(jax.jit(loss_fn)(batch["x"], batch["weight"]))
+        np.testing.assert_allclose(got, ref, rtol=1e-6)

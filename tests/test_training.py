@@ -160,6 +160,31 @@ class TestCheckpointer:
         with pytest.raises(FileNotFoundError):
             ckpt2.recover_if_possible()
 
+    def test_intra_epoch_predicate_protects_best_set(self, tmp_path):
+        """Intra-epoch saves (num_to_keep=1, predicate=unfinished) must
+        never delete the end-of-epoch keep-N-best checkpoints."""
+        state = self.make_state()
+        rec = PytreeRecoverable(lambda: state,
+                                lambda new: state.update(new))
+        ckpt = Checkpointer(str(tmp_path), {"model": rec})
+        for i, wer in enumerate([30.0, 20.0, 25.0]):
+            ckpt.save_and_keep_only(meta={"WER": wer}, num_to_keep=3,
+                                    min_keys=["WER"], name=f"CKPT+{i:04d}")
+        for j in range(2):
+            ckpt.save_and_keep_only(
+                meta={"unfinished_epoch": True}, end_of_epoch=False,
+                num_to_keep=1, name=f"CKPT+intra{j}",
+                importance_key=lambda c: c.unixtime,
+                ckpt_predicate=lambda c: c.meta.get(
+                    "unfinished_epoch", False))
+        remaining = ckpt.list_checkpoints()
+        wers = sorted(c.meta.get("WER", -1) for c in remaining)
+        # 3 best-WER ckpts intact + exactly 1 intra-epoch ckpt
+        assert wers == [-1, 20.0, 25.0, 30.0]
+        intra = [c for c in remaining
+                 if c.meta.get("unfinished_epoch", False)]
+        assert len(intra) == 1 and intra[0].path.endswith("intra1")
+
     def test_end_of_epoch_flag_threaded(self, tmp_path):
         c = EpochCounter(10)
         next(c)
@@ -273,3 +298,123 @@ class TestBrainLossGoesDown:
         # loss fetch); filter before comparing
         losses = [l for l in losses if np.isfinite(l)]
         assert np.mean(losses[-4:]) < 0.5 * np.mean(losses[:4])
+
+
+def _make_linear_brain(X, y, run_opts, lr=0.1):
+    """A tiny SGD Brain on a fixed linear problem (shared by the
+    accumulation / nonfinite-skip tests)."""
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from tsasr_tpu.training.brain import Brain
+
+    class LinModel(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(1, use_bias=False)(x)
+
+    model = LinModel()
+
+    class LinBrain(Brain):
+        def make_example_batch(self):
+            return {"x": X[:2], "y": y[:2]}
+
+        def _init_params(self, rng_key, example):
+            return model.init(rng_key, jnp.asarray(example["x"]))
+
+        def batch_to_arrays(self, batch):
+            return batch
+
+        def compute_forward(self, params, batch, stage, rng_key):
+            return model.apply(params, batch["x"])
+
+        def compute_objectives(self, predictions, batch, stage):
+            return jnp.mean((predictions - batch["y"]) ** 2)
+
+    def opt_class(learning_rate=None):
+        import optax
+        return optax.sgd(learning_rate or lr)
+
+    brain = LinBrain(modules={"model": model}, opt_class=opt_class,
+                     hparams={"seed": 0},
+                     run_opts={"noprogressbar": True,
+                               "max_grad_norm": 1e9, **run_opts})
+    brain._ensure_initialized()
+    brain.init_optimizers()
+    brain._jit_train_step = brain._build_train_step()
+    return brain, model
+
+
+class TestBrainStepSemantics:
+    def test_accumulated_step_equals_full_batch(self):
+        """Two micro-batches through the Brain (accum=2) must produce
+        the same parameters as one full-batch SGD step — i.e. no k×
+        double-scaling of the accumulated gradients."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(8, 4)).astype(np.float32)
+        y = (X @ np.asarray([[1.0], [-2.0], [0.5], [3.0]],
+                            np.float32)).astype(np.float32)
+
+        brain, model = _make_linear_brain(
+            X, y, {"grad_accumulation_factor": 2})
+        p0 = jax.tree.map(np.asarray, brain.params)
+
+        # reference: one SGD step on grad of mean over both halves
+        def loss_fn(p, xs, ys):
+            return jnp.mean((model.apply(p, xs) - ys) ** 2)
+
+        g1 = jax.grad(loss_fn)(brain.params, X[:4], y[:4])
+        g2 = jax.grad(loss_fn)(brain.params, X[4:], y[4:])
+        g_mean = jax.tree.map(lambda a, b: (a + b) / 2, g1, g2)
+        p_ref = optax.apply_updates(
+            brain.params, jax.tree.map(lambda g: -0.1 * g, g_mean))
+
+        brain.fit_batch({"x": X[:4], "y": y[:4]})
+        mid = jax.tree.map(np.asarray, brain.params)
+        for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(mid)):
+            np.testing.assert_allclose(a, b)  # no update mid-accum
+        assert brain.optimizer_step == 0
+        brain.fit_batch({"x": X[4:], "y": y[4:]})
+        assert brain.optimizer_step == 1
+        for a, b in zip(jax.tree.leaves(p_ref),
+                        jax.tree.leaves(brain.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
+    def test_nonfinite_batch_fully_skipped(self):
+        """A NaN-loss micro-batch must not advance params, the
+        MultiSteps micro-step, or the host step counters (reference
+        skips the batch entirely, core.py:1115-1150)."""
+        import jax
+
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(8, 4)).astype(np.float32)
+        y = (X @ np.asarray([[1.0], [-2.0], [0.5], [3.0]],
+                            np.float32)).astype(np.float32)
+        brain, _ = _make_linear_brain(
+            X, y, {"grad_accumulation_factor": 2,
+                   "nonfinite_patience": 10})
+
+        Xbad = X[:4].copy()
+        Xbad[0, 0] = np.nan
+        p0 = jax.tree.map(np.asarray, brain.params)
+        brain.fit_batch({"x": Xbad, "y": y[:4]})
+        brain._flush_pending_loss()  # consume → detect nonfinite
+        for a, b in zip(jax.tree.leaves(p0),
+                        jax.tree.leaves(brain.params)):
+            np.testing.assert_allclose(a, np.asarray(b))
+        assert brain.global_micro_step == 0
+        assert brain.nonfinite_count == 1
+        # MultiSteps mini_step on device also did not advance
+        assert int(brain.opt_state.mini_step) == 0
+
+        # two good batches now complete one full optimizer step
+        brain.fit_batch({"x": X[:4], "y": y[:4]})
+        brain.fit_batch({"x": X[4:], "y": y[4:]})
+        brain._flush_pending_loss()
+        assert brain.optimizer_step == 1
+        assert int(brain.opt_state.gradient_step) == 1

@@ -81,7 +81,9 @@ def pad_batch_to(batch_arrays, multiple):
     """Pad the batch dim by duplicating trailing examples so it divides
     the data axis (the reference DDP pads by duplication too,
     ``DistributedSamplerWrapper``; duplicates are deduped at metric
-    merge)."""
+    merge). The ``weight`` entry is zeroed for duplicated rows so the
+    sharded loss/gradients equal the unsharded ones on non-divisible
+    batches."""
     out = {}
     b = None
     for key, value in batch_arrays.items():
@@ -92,6 +94,9 @@ def pad_batch_to(batch_arrays, multiple):
             reps = np.concatenate(
                 [arr, arr[: target - b]], axis=0) if target - b <= b else \
                 np.concatenate([arr] * (-(-target // b)), axis=0)[:target]
+            if key == "weight":
+                reps = reps.copy()
+                reps[b:] = 0
             out[key] = reps
         else:
             out[key] = arr

@@ -103,6 +103,7 @@ class Brain:
         self.opt_state = None
         self.optimizer = None
         self.step = 0                     # batches this epoch
+        self.global_micro_step = 0        # micro-batches, all epochs
         self.optimizer_step = 0           # global optimizer steps
         self.nonfinite_count = 0
         self.avg_train_loss = 0.0
@@ -200,6 +201,14 @@ class Brain:
         self.optimizer = tx
         if self.opt_state is None:
             self.opt_state = self.optimizer.init(self.params)
+            if hasattr(self, "_restored_opt_state"):
+                # a checkpoint loaded before the optimizer existed —
+                # restore Adam moments/MultiSteps counters onto the
+                # freshly built state instead of dropping them
+                from flax import serialization
+                self.opt_state = serialization.from_state_dict(
+                    self.opt_state, self._restored_opt_state)
+                del self._restored_opt_state
 
     def _lr_schedule(self):
         """Noam (or any) schedule from hparams; None = constant lr."""
@@ -218,26 +227,32 @@ class Brain:
 
     # ======================================================= jitted steps
     def _build_train_step(self):
-        accum = float(self.grad_accumulation_factor)
-
+        # No loss/accum scaling here: optax.MultiSteps *averages*
+        # micro-batch grads, which already matches the reference's
+        # sum-of-(loss/k) DDP semantics — dividing again would shrink
+        # effective grads k× and defeat clip_by_global_norm.
         def train_step(params, opt_state, batch, rng):
             def loss_fn(p):
                 predictions = self.compute_forward(p, batch, Stage.TRAIN,
                                                    rng)
-                loss = self.compute_objectives(predictions, batch,
+                return self.compute_objectives(predictions, batch,
                                                Stage.TRAIN)
-                return loss / accum
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
-            loss = loss * accum
-            finite = jnp.isfinite(loss)
-            # skip nonfinite micro-batches (reference check_gradients)
-            grads = jax.tree.map(
-                lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
             grad_norm = optax.global_norm(grads)
-            updates, new_opt_state = self.optimizer.update(
-                grads, opt_state, params)
-            new_params = optax.apply_updates(params, updates)
+            finite = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+
+            # Skip the batch entirely on nonfinite loss/grads: neither
+            # the MultiSteps micro-step nor the optimizer/schedule count
+            # advances (reference check_gradients, core.py:1115-1150).
+            def do_update(operand):
+                p, s, g = operand
+                updates, new_s = self.optimizer.update(g, s, p)
+                return optax.apply_updates(p, updates), new_s
+
+            new_params, new_opt_state = jax.lax.cond(
+                finite, do_update, lambda o: (o[0], o[1]),
+                (params, opt_state, grads))
             return new_params, new_opt_state, loss, grad_norm, finite
 
         return jax.jit(train_step, donate_argnums=(0, 1))
@@ -270,19 +285,29 @@ class Brain:
         self.params, self.opt_state, loss, grad_norm, finite = \
             self._jit_train_step(self.params, self.opt_state, arrays,
                                  step_rng)
-        should_step = (self.step % self.grad_accumulation_factor) == 0
-        if should_step:
-            self.optimizer_step += 1
-            sched = getattr(self.hparams, "noam_scheduler", None)
-            if sched is not None and \
-                    getattr(self.hparams, "enable_scheduler", True):
-                sched.n_steps = self.optimizer_step
-                sched.current_lr = self.current_lr()
+        # the persistent micro counter mirrors MultiSteps' mini_step
+        # (per-epoch self.step would drift when epochs aren't multiples
+        # of the accumulation factor); nonfinite batches are un-counted
+        # in _consume_loss, one async step later, matching the device's
+        # skipped update.
+        self.global_micro_step += 1
+        self._sync_step_counters()
         pending, self._pending_loss = \
             getattr(self, "_pending_loss", None), (loss, grad_norm)
         if pending is None:
             return float("nan")      # first batch: no value yet
         return self._consume_loss(pending)
+
+    def _sync_step_counters(self):
+        new_opt_step = self.global_micro_step // int(
+            self.grad_accumulation_factor)
+        if new_opt_step != self.optimizer_step:
+            self.optimizer_step = new_opt_step
+            sched = getattr(self.hparams, "noam_scheduler", None)
+            if sched is not None and \
+                    getattr(self.hparams, "enable_scheduler", True):
+                sched.n_steps = self.optimizer_step
+                sched.current_lr = self.current_lr()
 
     def _consume_loss(self, pending):
         loss, grad_norm = pending
@@ -295,6 +320,9 @@ class Brain:
             if self.nonfinite_count > self.nonfinite_patience:
                 raise ValueError(
                     "Loss is not finite and patience is exhausted")
+            # the device skipped this micro-batch entirely — un-count it
+            self.global_micro_step = max(0, self.global_micro_step - 1)
+            self._sync_step_counters()
             loss_val = self.avg_train_loss
         self.last_grad_norm = float(grad_norm)
         return loss_val
@@ -373,8 +401,8 @@ class Brain:
                             desc=f"Epoch {epoch}")
         for batch in iterator:
             self.step += 1
-            should_step = (self.step %
-                           self.grad_accumulation_factor) == 0
+            should_step = ((self.global_micro_step + 1) %
+                           int(self.grad_accumulation_factor)) == 0
             self.on_fit_batch_start(batch, should_step)
             loss = self.fit_batch(batch)
             self.avg_train_loss = self._update_average(
@@ -407,11 +435,15 @@ class Brain:
             self.optimizer_step % self.ckpt_interval_steps == 0 and \
             (self.step % self.grad_accumulation_factor) == 0
         if by_minutes or by_steps:
+            # only intra-epoch checkpoints compete for deletion — the
+            # end-of-epoch keep-N-best set is untouchable (reference
+            # core.py:1241-1257 passes the same ckpt_predicate)
             self.checkpointer.save_and_keep_only(
                 meta={"unfinished_epoch": True}, end_of_epoch=False,
                 num_to_keep=1,
-                importance_key=lambda c: (
-                    c.meta.get("unfinished_epoch", False), c.unixtime))
+                importance_key=lambda c: c.unixtime,
+                ckpt_predicate=lambda c: c.meta.get(
+                    "unfinished_epoch", False))
             self._last_ckpt_time = time.time()
 
     def _fit_valid(self, valid_set, epoch, progressbar):
@@ -483,6 +515,7 @@ class _BrainState:
             "params": self.brain.params,
             "opt_state": self.brain.opt_state,
             "optimizer_step": self.brain.optimizer_step,
+            "global_micro_step": self.brain.global_micro_step,
         }
         state_dict = serialization.to_state_dict(payload)
         with open(path, "wb") as f:
@@ -495,6 +528,9 @@ class _BrainState:
             restored = serialization.msgpack_restore(f.read())
         brain = self.brain
         brain.optimizer_step = int(restored["optimizer_step"])
+        brain.global_micro_step = int(restored.get(
+            "global_micro_step",
+            brain.optimizer_step * int(brain.grad_accumulation_factor)))
         if brain.params is not None:
             brain.params = serialization.from_state_dict(
                 brain.params, restored["params"])

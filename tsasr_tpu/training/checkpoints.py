@@ -127,14 +127,22 @@ class Checkpointer:
     def save_and_keep_only(self, meta=None, name=None, num_to_keep=1,
                            min_keys=None, max_keys=None,
                            keep_recent=False, end_of_epoch=True,
-                           importance_key=None):
-        """Save, then delete all but the N best checkpoints per key."""
+                           importance_key=None, ckpt_predicate=None):
+        """Save, then delete all but the N best checkpoints per key.
+
+        ``ckpt_predicate`` restricts which checkpoints are *candidates for
+        deletion* (reference ``utils/checkpoints.py:892``): checkpoints it
+        rejects are never deleted — e.g. intra-epoch saves pass
+        ``lambda c: c.meta.get("unfinished_epoch")`` so end-of-epoch
+        keep-N-best checkpoints survive.
+        """
         ckpt = self.save_checkpoint(meta=meta, name=name,
                                     end_of_epoch=end_of_epoch)
         self.delete_checkpoints(num_to_keep=num_to_keep,
                                 min_keys=min_keys, max_keys=max_keys,
                                 keep_recent=keep_recent,
-                                importance_key=importance_key)
+                                importance_key=importance_key,
+                                ckpt_predicate=ckpt_predicate)
         return ckpt
 
     # --------------------------------------------------------------- find
@@ -195,11 +203,17 @@ class Checkpointer:
     # ------------------------------------------------------------- delete
     def delete_checkpoints(self, num_to_keep=1, min_keys=None,
                            max_keys=None, keep_recent=False,
-                           importance_key=None):
-        """Keep the N best per key (plus optionally the N most recent)."""
+                           importance_key=None, ckpt_predicate=None):
+        """Keep the N best per key (plus optionally the N most recent).
+
+        Only checkpoints accepted by ``ckpt_predicate`` (default: all) are
+        candidates for deletion or ranking; the rest are untouchable.
+        """
         if not _is_main_process():
             return
         ckpts = self.list_checkpoints()
+        if ckpt_predicate is not None:
+            ckpts = [c for c in ckpts if ckpt_predicate(c)]
         protected = set()
         key_fns = []
         if importance_key is not None:
