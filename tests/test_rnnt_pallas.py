@@ -69,3 +69,43 @@ class TestPallasKernel:
                                True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-4)
+
+
+class TestPallasSharded:
+    def test_shard_mapped_matches_single_device(self, rng):
+        """shard_map-wrapped kernel over a (data=4, model=2) mesh ==
+        single-device values and grads (the multi-chip production
+        path; VERDICT r1 item 2)."""
+        from tsasr_tpu.ops.rnnt_loss_pallas import rnnt_loss_pallas_sharded
+        from tsasr_tpu.parallel.mesh import make_mesh, shard_batch
+
+        logits, labels, t_lens, u_lens = make_case(rng, B=3)
+        logits = jnp.concatenate([logits] * 3, axis=0)[:8]
+        labels = jnp.concatenate([labels] * 3, axis=0)[:8]
+        t_lens = jnp.concatenate([t_lens] * 3)[:8]
+        u_lens = jnp.concatenate([u_lens] * 3)[:8]
+
+        ref = _rnnt_forward_backward(logits, labels, t_lens, u_lens, 0)
+        g_ref = jax.grad(lambda lg: jnp.sum(_rnnt_forward_backward(
+            lg, labels, t_lens, u_lens, 0)))(logits)
+
+        mesh = make_mesh(dp=4, tp=2)
+        batch = shard_batch({"lg": np.asarray(logits),
+                             "lb": np.asarray(labels),
+                             "tl": np.asarray(t_lens),
+                             "ul": np.asarray(u_lens)}, mesh)
+
+        def loss_sum(lg):
+            return jnp.sum(rnnt_loss_pallas_sharded(
+                lg, batch["lb"], batch["tl"], batch["ul"], 0,
+                mesh=mesh, interpret=True))
+
+        with mesh:
+            got = jax.jit(lambda lg: rnnt_loss_pallas_sharded(
+                lg, batch["lb"], batch["tl"], batch["ul"], 0,
+                mesh=mesh, interpret=True))(batch["lg"])
+            g_got = jax.jit(jax.grad(loss_sum))(batch["lg"])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                                   atol=5e-4)

@@ -246,7 +246,8 @@ def rnnt_loss_reference(logits, labels, logit_lengths, label_lengths,
 
 
 def rnnt_loss(logits, labels, logit_lengths, label_lengths, blank=0,
-              reduction="mean", use_pallas="auto"):
+              reduction="mean", use_pallas="auto", mesh=None,
+              data_axis="data"):
     """RNN-T loss over absolute lengths. API mirrors torchaudio's
     ``rnnt_loss`` (the reference recipe's default backend).
 
@@ -261,6 +262,10 @@ def rnnt_loss(logits, labels, logit_lengths, label_lengths, blank=0,
     use_pallas : 'auto' uses the fused Pallas TPU kernel when running on
         TPU and the lattice fits VMEM; True forces it; False forces the
         XLA wavefront scan.
+    mesh / data_axis : when a multi-device mesh is given, the Pallas
+        kernel runs per data shard under ``shard_map`` (the batch must
+        divide the data-axis size); the XLA path needs no wrapping (it
+        partitions automatically).
     """
     logits = logits.astype(jnp.float32)
     labels = labels.astype(jnp.int32)
@@ -273,8 +278,13 @@ def rnnt_loss(logits, labels, logit_lengths, label_lengths, blank=0,
         chosen = rp.pallas_applicable(logits.shape, force=use_pallas == True)  # noqa: E712
     if chosen:
         from tsasr_tpu.ops import rnnt_loss_pallas as rp
-        losses = rp.rnnt_loss_pallas(logits, labels, logit_lengths,
-                                     label_lengths, blank)
+        if mesh is not None and mesh.shape.get(data_axis, 1) > 1:
+            losses = rp.rnnt_loss_pallas_sharded(
+                logits, labels, logit_lengths, label_lengths, blank,
+                mesh=mesh, data_axis=data_axis)
+        else:
+            losses = rp.rnnt_loss_pallas(logits, labels, logit_lengths,
+                                         label_lengths, blank)
     else:
         losses = _rnnt_forward_backward(logits, labels, logit_lengths,
                                         label_lengths, blank)

@@ -291,3 +291,27 @@ def _pallas_bwd(blank, interpret, residuals, g):
 
 
 rnnt_loss_pallas.defvjp(_pallas_fwd, _pallas_bwd)
+
+
+def rnnt_loss_pallas_sharded(logits, labels, logit_lengths, label_lengths,
+                             blank, mesh, data_axis="data",
+                             interpret=False):
+    """The fused kernel under a device mesh: shard_map over the batch
+    (data) axis, one single-device Pallas call per shard.
+
+    The loss is per-example with no cross-example coupling, so sharding
+    the batch is exact; grads come out with the same batch sharding. The
+    global batch must divide the data-axis size (the recipe's
+    ``pad_batch_to`` guarantees it).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def per_shard(lg, lb, tl, ul):
+        return rnnt_loss_pallas(lg, lb, tl, ul, blank, interpret)
+
+    spec = P(data_axis)
+    return jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(spec, spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )(logits, labels, logit_lengths, label_lengths)
