@@ -321,15 +321,38 @@ class TSTransducer(nn.Module):
         """enc (..., 1, J), dec (..., U, J) -> logits (..., U, V)."""
         return self.head(self.joiner(enc, dec))
 
+    def joint_logits_banded(self, enc_out, dec_out, centers, band_width):
+        """Joint + head evaluated only on a diagonal band of label
+        positions: (B, T, W, V) instead of (B, T, U+1, V).
+
+        ``centers`` (B, T) int32 band starts (``ops.rnnt_loss_banded.
+        band_centers``); the (B, T, U+1, joint_dim) activations — the
+        reference recipe's memory peak for 60 s utterances — are never
+        materialized.
+        """
+        B, U1, J = dec_out.shape
+        idx = jnp.clip(
+            centers[:, :, None] + jnp.arange(band_width)[None, None, :],
+            0, U1 - 1)                                      # (B, T, W)
+        dec_band = jnp.take_along_axis(
+            dec_out[:, None, :, :], idx[..., None], axis=2)  # (B,T,W,J)
+        return self.joint_logits(enc_out[:, :, None, :], dec_band)
+
     # ----------------------------------------------------------- training
     def __call__(self, feats, rel_lens, tokens_bos, enroll_feats=None,
                  enroll_rel_lens=None, external_speaker_embs=None,
-                 deterministic=True):
+                 deterministic=True, band_width=None,
+                 token_rel_lens=None):
         """Training/eval forward pass -> (logits, enc_out).
 
         ``enroll_feats`` drives the scratch speaker encoder;
         ``external_speaker_embs`` ((B, 1, E) or (B, S, E)) bypasses it
         (the ``pretrained`` variant's frozen WavLM d-vectors).
+
+        With ``band_width`` set (and ``token_rel_lens`` given), the
+        joint/head run only on a diagonal band: logits come back as
+        (B, T', band_width, V) and the loss side recomputes the same
+        ``band_centers`` (deterministic in the lengths).
         """
         c = self.config
         speaker_embs = None
@@ -348,6 +371,16 @@ class TSTransducer(nn.Module):
         enc_out = self.encode(feats, rel_lens, speaker_embs, speaker_rel,
                               deterministic=deterministic)
         dec_out, _ = self.predict(tokens_bos)
-        logits = self.joint_logits(enc_out[:, :, None, :],
-                                   dec_out[:, None, :, :])
+        if band_width is not None:
+            from tsasr_tpu.ops.rnnt_loss_banded import band_centers
+            Tp = enc_out.shape[1]
+            U = tokens_bos.shape[1] - 1
+            t_lens = jnp.round(rel_lens * Tp).astype(jnp.int32)
+            u_lens = jnp.round(token_rel_lens * U).astype(jnp.int32)
+            centers = band_centers(t_lens, u_lens, Tp, band_width)
+            logits = self.joint_logits_banded(enc_out, dec_out, centers,
+                                              band_width)
+        else:
+            logits = self.joint_logits(enc_out[:, :, None, :],
+                                       dec_out[:, None, :, :])
         return logits, enc_out

@@ -168,6 +168,10 @@ class TSASRBrain(Brain):
         apply_kwargs = {}
         if not deterministic:
             apply_kwargs["rngs"] = {"dropout": rng}
+        band = getattr(self.hparams, "joint_band_width", None)
+        if band:
+            kwargs["band_width"] = int(band)
+            kwargs["token_rel_lens"] = jnp.asarray(batch["tokens_lens"])
         logits, enc_out = self.model.apply(
             params, feats, rel, jnp.asarray(batch["tokens_bos"]),
             deterministic=deterministic, **kwargs, **apply_kwargs)
@@ -180,14 +184,28 @@ class TSASRBrain(Brain):
                                * logits.shape[1]).astype(jnp.int32)
         target_lens = jnp.round(jnp.asarray(batch["tokens_lens"])
                                 * tokens.shape[1]).astype(jnp.int32)
-        # Under a multi-device mesh the batch is sharded; the fused
-        # Pallas kernel is a single-device custom call, so the sharded
-        # path uses the XLA wavefront (which partitions cleanly). A
-        # shard_map-wrapped kernel is the planned multi-chip fast path.
-        use_pallas = "auto" if self.mesh is None else False
-        losses = rnnt_loss(logits, tokens, input_lens, target_lens,
-                           blank=self.hparams.blank_index,
-                           reduction="none", use_pallas=use_pallas)
+        band = getattr(self.hparams, "joint_band_width", None)
+        if band:
+            # banded joint: logits are (B, T', W, V); recompute the same
+            # deterministic band centers the model used
+            from tsasr_tpu.ops.rnnt_loss_banded import (
+                band_centers,
+                rnnt_loss_banded,
+            )
+            centers = band_centers(input_lens, target_lens,
+                                   logits.shape[1], int(band))
+            losses = rnnt_loss_banded(logits, tokens, centers, input_lens,
+                                      target_lens,
+                                      blank=self.hparams.blank_index,
+                                      reduction="none")
+        else:
+            # Under a multi-device mesh the fused Pallas kernel runs per
+            # data shard via shard_map (pad_batch_to makes B divide the
+            # data axis); single-device it is a plain custom call.
+            losses = rnnt_loss(logits, tokens, input_lens, target_lens,
+                               blank=self.hparams.blank_index,
+                               reduction="none", use_pallas="auto",
+                               mesh=self.mesh)
         w = jnp.asarray(batch["weight"])
         return jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1.0)
 
