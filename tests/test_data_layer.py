@@ -26,8 +26,15 @@ from tsasr_tpu.data import (
     takes,
 )
 from tsasr_tpu.data.audio import read_audio, resample, write_wav
+from tsasr_tpu.data.flac import read_flac, write_flac
 from tsasr_tpu.data.mixing import mix_signals
 from tsasr_tpu.data.pipeline import DataPipeline
+from tsasr_tpu.data.tokenizer import (
+    BpeTokenizer,
+    UnigramTokenizer,
+    load_tokenizer,
+    train_tokenizer,
+)
 
 
 class TestDataPipeline:
@@ -178,6 +185,112 @@ class TestTokenizer:
         assert tok2.encode_as_ids("hello") == tok.encode_as_ids("hello")
 
 
+BPE_CORPUS = [
+    "the cat sat on the mat",
+    "the cat ate the rat",
+    "a cat and a rat sat",
+    "the mat and the rat",
+] * 5
+
+
+class TestBpeTokenizer:
+    def test_roundtrip(self):
+        tok = BpeTokenizer.train(BPE_CORPUS, vocab_size=40)
+        assert tok.vocab_size <= 40
+        for text in ["the cat sat", "a rat on the mat"]:
+            assert tok.decode_ids(tok.encode_as_ids(text)) == text
+
+    def test_merges_frequent_pairs(self):
+        tok = BpeTokenizer.train(BPE_CORPUS, vocab_size=40)
+        # "the" is the most frequent word; BPE must learn it as one or
+        # two pieces, not four chars
+        pieces = tok.encode_as_pieces("the the")
+        assert len(pieces) < 8
+        assert any(len(p) > 1 for p in pieces)
+
+    def test_encoding_deterministic_by_rank(self):
+        tok = BpeTokenizer.train(BPE_CORPUS, vocab_size=40)
+        a = tok.encode_as_ids("the cat sat on the mat")
+        b = tok.encode_as_ids("the cat sat on the mat")
+        assert a == b
+
+    def test_unk_for_unseen_char(self):
+        tok = BpeTokenizer.train(BPE_CORPUS, vocab_size=40)
+        ids = tok.encode_as_ids("zebra!")
+        assert tok.unk_id in ids
+
+    def test_save_load(self, tmp_path):
+        tok = BpeTokenizer.train(BPE_CORPUS, vocab_size=40)
+        path = str(tmp_path / "bpe.json")
+        tok.save(path)
+        tok2 = BpeTokenizer.load(path)
+        assert tok2.pieces == tok.pieces
+        assert tok2.merges == tok.merges
+        text = "the rat sat"
+        assert tok2.encode_as_ids(text) == tok.encode_as_ids(text)
+        tok3 = load_tokenizer(path)
+        assert isinstance(tok3, BpeTokenizer)
+
+    def test_batch_call(self):
+        tok = BpeTokenizer.train(BPE_CORPUS, vocab_size=40)
+        ids = tok(["the cat", "a rat"], task="encode")
+        words = tok(ids, task="decode_from_list")
+        assert words == [["the", "cat"], ["a", "rat"]]
+
+
+class TestUnigramTokenizer:
+    def test_roundtrip(self):
+        tok = UnigramTokenizer.train(BPE_CORPUS, vocab_size=40)
+        assert tok.vocab_size <= 40
+        for text in ["the cat sat", "a rat on the mat"]:
+            assert tok.decode_ids(tok.encode_as_ids(text)) == text
+
+    def test_prefers_long_frequent_pieces(self):
+        tok = UnigramTokenizer.train(BPE_CORPUS, vocab_size=40)
+        # viterbi should segment the most frequent word into few pieces
+        pieces = tok.encode_as_pieces("the")
+        assert len(pieces) <= 2
+
+    def test_probs_normalized(self):
+        tok = UnigramTokenizer.train(BPE_CORPUS, vocab_size=40)
+        mass = sum(math.exp(lp) for p, lp in
+                   zip(tok.pieces, tok.log_probs) if p != "<unk>")
+        assert 0.5 < mass <= 1.0 + 1e-6
+
+    def test_save_load(self, tmp_path):
+        tok = UnigramTokenizer.train(BPE_CORPUS, vocab_size=40)
+        path = str(tmp_path / "uni.json")
+        tok.save(path)
+        tok2 = UnigramTokenizer.load(path)
+        text = "the rat sat"
+        assert tok2.encode_as_ids(text) == tok.encode_as_ids(text)
+        tok3 = load_tokenizer(path)
+        assert isinstance(tok3, UnigramTokenizer)
+
+    def test_unk_for_unseen_char(self):
+        tok = UnigramTokenizer.train(BPE_CORPUS, vocab_size=40)
+        ids = tok.encode_as_ids("zebra!")
+        assert tok.unk_id in ids
+
+
+class TestTrainTokenizerDispatch:
+    @pytest.mark.parametrize("model_type,cls", [
+        ("bpe", BpeTokenizer), ("unigram", UnigramTokenizer)])
+    def test_train_and_reload(self, tmp_path, model_type, cls):
+        tok = train_tokenizer(str(tmp_path), BPE_CORPUS, vocab_size=40,
+                              model_type=model_type)
+        assert isinstance(tok, cls)
+        # second call loads from disk
+        tok2 = train_tokenizer(str(tmp_path), [], vocab_size=40,
+                               model_type=model_type)
+        assert tok2.pieces == tok.pieces
+
+    def test_unknown_type(self, tmp_path):
+        with pytest.raises(ValueError, match="model_type"):
+            train_tokenizer(str(tmp_path), BPE_CORPUS, vocab_size=40,
+                            model_type="wordpiece")
+
+
 class TestAudio:
     def test_wav_roundtrip(self, tmp_path):
         sr = 16000
@@ -201,12 +314,74 @@ class TestAudio:
         err = np.abs(out[200:-200] - expected[200:-200]).max()
         assert err < 1e-2
 
-    def test_flac_falls_back_to_wav(self, tmp_path):
-        sr = 8000
-        sig = np.zeros(100, np.float32)
-        write_wav(str(tmp_path / "x.wav"), sig, sr)
-        loaded, sr2 = read_audio(str(tmp_path / "x.flac"))
-        assert sr2 == sr and len(loaded) == 100
+    def test_flac_read_audio(self, tmp_path):
+        sr = 16000
+        rng = np.random.default_rng(3)
+        pcm = (np.sin(2 * np.pi * 220 * np.arange(9000) / sr) * 12000
+               + rng.normal(0, 100, 9000)).astype(np.int16)
+        path = str(tmp_path / "x.flac")
+        write_flac(path, pcm, sr)
+        loaded, sr2 = read_audio(path)
+        assert sr2 == sr
+        np.testing.assert_array_equal(
+            loaded, pcm.astype(np.float32) / 32768.0)
+
+
+class TestFlacCodec:
+    SR = 16000
+
+    def _cases(self):
+        rng = np.random.default_rng(0)
+        sine = (np.sin(2 * np.pi * 440 * np.arange(20000) / self.SR)
+                * 20000).astype(np.int16)
+        return {
+            "silence": np.zeros(5000, np.int16),
+            "constant": np.full(5000, -321, np.int16),
+            "sine": sine,
+            "noise": rng.integers(-30000, 30000, 10000).astype(np.int16),
+            "speechy": (sine[:12345] * 0.4
+                        + rng.normal(0, 300, 12345)).astype(np.int16),
+            "short": np.array([5, -7, 11], np.int16),
+        }
+
+    @pytest.mark.parametrize("use_lpc", [False, True])
+    def test_lossless_roundtrip(self, tmp_path, use_lpc):
+        path = str(tmp_path / "t.flac")
+        for name, pcm in self._cases().items():
+            write_flac(path, pcm, self.SR, use_lpc=use_lpc)
+            out, sr, bps = read_flac(path)
+            assert (sr, bps) == (self.SR, 16), name
+            np.testing.assert_array_equal(out[:, 0], pcm.astype(np.int32),
+                                          err_msg=name)
+
+    def test_stereo_independent(self, tmp_path):
+        cases = self._cases()
+        st = np.stack([cases["sine"][:8000], cases["noise"][:8000]], 1)
+        path = str(tmp_path / "st.flac")
+        write_flac(path, st, self.SR)
+        out, _, _ = read_flac(path)
+        np.testing.assert_array_equal(out, st.astype(np.int32))
+
+    def test_native_decoder_matches_python(self, tmp_path):
+        from tsasr_tpu import native
+        if native.get_lib() is None:
+            pytest.skip("native library not built")
+        path = str(tmp_path / "n.flac")
+        for name, pcm in self._cases().items():
+            write_flac(path, pcm, self.SR)
+            res = native.flac_read(path)
+            assert res is not None, name
+            wav, sr = res
+            assert sr == self.SR
+            np.testing.assert_array_equal(
+                wav, pcm.astype(np.float32) / 32768.0, err_msg=name)
+
+    def test_bad_magic_raises(self, tmp_path):
+        path = str(tmp_path / "bad.flac")
+        with open(path, "wb") as f:
+            f.write(b"RIFFxxxx")
+        with pytest.raises(ValueError, match="magic"):
+            read_flac(path)
 
 
 class TestMixing:
