@@ -116,6 +116,278 @@ int tsasr_wav_read(const char* path, float** out, int64_t* out_n,
   return 0;
 }
 
+// --------------------------------------------------------------- FLAC
+// Full-spec FLAC decoder (mirrors tsasr_tpu/data/flac.py, the reference
+// implementation): constant/verbatim/fixed/LPC subframes, Rice + Rice2
+// residuals with escape partitions, wasted bits, stereo decorrelation.
+// LibriSpeech is 16-bit mono FLAC; this is the data-loader hot path the
+// reference delegates to torchaudio's C++ backend.
+
+namespace flac {
+
+struct BitReader {
+  const unsigned char* data;
+  size_t size;
+  size_t pos;  // bits
+  bool fail = false;
+
+  uint64_t read(int n) {
+    if ((pos + n + 7) / 8 > size) { fail = true; return 0; }
+    uint64_t v = 0;
+    size_t p = pos;
+    pos += n;
+    while (n > 0) {
+      int bit_off = (int)(p & 7);
+      int take = 8 - bit_off;
+      if (take > n) take = n;
+      unsigned byte = data[p >> 3];
+      unsigned chunk = (byte >> (8 - bit_off - take)) & ((1u << take) - 1);
+      v = (v << take) | chunk;
+      p += take;
+      n -= take;
+    }
+    return v;
+  }
+
+  int64_t read_signed(int n) {
+    uint64_t v = read(n);
+    if (n > 0 && (v >> (n - 1))) return (int64_t)v - ((int64_t)1 << n);
+    return (int64_t)v;
+  }
+
+  int64_t read_unary() {
+    int64_t count = 0;
+    while (true) {
+      size_t byte_idx = pos >> 3;
+      if (byte_idx >= size) { fail = true; return 0; }
+      int bit_off = (int)(pos & 7);
+      unsigned byte = data[byte_idx] & (0xFFu >> bit_off);
+      if (byte) {
+        int bit_length = 32 - __builtin_clz(byte);
+        int lead = 8 - bit_length;  // index of the top set bit (MSB-first)
+        count += lead - bit_off;
+        pos = (byte_idx << 3) + lead + 1;
+        return count;
+      }
+      count += 8 - bit_off;
+      pos = (byte_idx + 1) << 3;
+    }
+  }
+
+  void align() { pos = (pos + 7) & ~(size_t)7; }
+  bool at_end() const { return pos >= size * 8; }
+
+  uint64_t read_utf8() {
+    uint64_t first = read(8);
+    if (first < 0x80) return first;
+    int n_extra = 0;
+    unsigned mask = 0x40;
+    while (first & mask) { n_extra++; mask >>= 1; }
+    uint64_t value = first & (mask - 1);
+    for (int i = 0; i < n_extra; i++) {
+      value = (value << 6) | (read(8) & 0x3F);
+    }
+    return value;
+  }
+};
+
+static const int kBlockSizeTable[16] = {0, 192, 576, 1152, 2304, 4608, -1,
+                                        -2, 256, 512, 1024, 2048, 4096,
+                                        8192, 16384, 32768};
+static const int kSampleSizeTable[8] = {0, 8, 12, 0, 16, 20, 24, 32};
+
+static bool read_residual(BitReader& br, int block_size, int order,
+                          std::vector<int64_t>& out) {
+  int method = (int)br.read(2);
+  if (method > 1) return false;
+  int param_bits = method == 0 ? 4 : 5;
+  int escape = method == 0 ? 15 : 31;
+  int part_order = (int)br.read(4);
+  int n_parts = 1 << part_order;
+  out.resize((size_t)(block_size - order));
+  size_t filled = 0;
+  for (int p = 0; p < n_parts; p++) {
+    int n = (block_size >> part_order) - (p == 0 ? order : 0);
+    if (n < 0 || filled + n > out.size()) return false;
+    int param = (int)br.read(param_bits);
+    if (param == escape) {
+      int raw_bits = (int)br.read(5);
+      for (int i = 0; i < n; i++)
+        out[filled + i] = raw_bits ? br.read_signed(raw_bits) : 0;
+    } else {
+      for (int i = 0; i < n; i++) {
+        int64_t q = br.read_unary();
+        uint64_t v = ((uint64_t)q << param) | (param ? br.read(param) : 0);
+        out[filled + i] = (int64_t)(v >> 1) ^ -(int64_t)(v & 1);
+      }
+    }
+    filled += n;
+    if (br.fail) return false;
+  }
+  return true;
+}
+
+static bool read_subframe(BitReader& br, int block_size, int bps,
+                          std::vector<int64_t>& out) {
+  if (br.read(1)) return false;  // padding bit must be 0
+  int stype = (int)br.read(6);
+  int wasted = 0;
+  if (br.read(1)) wasted = (int)br.read_unary() + 1;
+  bps -= wasted;
+  out.resize((size_t)block_size);
+  if (stype == 0) {  // constant
+    int64_t v = br.read_signed(bps);
+    for (int i = 0; i < block_size; i++) out[(size_t)i] = v;
+  } else if (stype == 1) {  // verbatim
+    for (int i = 0; i < block_size; i++)
+      out[(size_t)i] = br.read_signed(bps);
+  } else if (stype >= 8 && stype <= 12) {  // fixed
+    int order = stype - 8;
+    static const int kFixed[5][4] = {{0}, {1}, {2, -1}, {3, -3, 1},
+                                     {4, -6, 4, -1}};
+    for (int i = 0; i < order; i++) out[(size_t)i] = br.read_signed(bps);
+    std::vector<int64_t> resid;
+    if (!read_residual(br, block_size, order, resid)) return false;
+    for (int i = order; i < block_size; i++) {
+      int64_t acc = resid[(size_t)(i - order)];
+      for (int j = 0; j < order; j++)
+        acc += (int64_t)kFixed[order][j] * out[(size_t)(i - 1 - j)];
+      out[(size_t)i] = acc;
+    }
+  } else if (stype >= 32) {  // LPC
+    int order = stype - 31;
+    for (int i = 0; i < order; i++) out[(size_t)i] = br.read_signed(bps);
+    int precision = (int)br.read(4) + 1;
+    int shift = (int)br.read_signed(5);
+    std::vector<int64_t> coefs((size_t)order);
+    for (int i = 0; i < order; i++) coefs[(size_t)i] = br.read_signed(precision);
+    std::vector<int64_t> resid;
+    if (!read_residual(br, block_size, order, resid)) return false;
+    for (int i = order; i < block_size; i++) {
+      int64_t acc = 0;
+      for (int j = 0; j < order; j++)
+        acc += coefs[(size_t)j] * out[(size_t)(i - 1 - j)];
+      out[(size_t)i] = resid[(size_t)(i - order)] + (acc >> shift);
+    }
+  } else {
+    return false;  // reserved type
+  }
+  if (wasted)
+    for (int i = 0; i < block_size; i++) out[(size_t)i] <<= wasted;
+  return !br.fail;
+}
+
+}  // namespace flac
+
+// Decode a FLAC file; channel 0 only (mono-ized like the recipe).
+// Returns 0 on success; *out is a malloc'd float buffer scaled to [-1,1).
+int tsasr_flac_read(const char* path, float** out, int64_t* out_n,
+                    int* out_sr) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return 1;
+  std::fseek(f, 0, SEEK_END);
+  long fsize = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  std::vector<unsigned char> data((size_t)fsize);
+  if (std::fread(data.data(), 1, (size_t)fsize, f) != (size_t)fsize) {
+    std::fclose(f);
+    return 1;
+  }
+  std::fclose(f);
+  if (fsize < 8 || std::memcmp(data.data(), "fLaC", 4)) return 2;
+
+  size_t pos = 4;
+  int sample_rate = 0, channels = 0, bps = 0;
+  int64_t total = 0;
+  bool have_streaminfo = false;
+  while (pos + 4 <= (size_t)fsize) {
+    int last = data[pos] >> 7;
+    int btype = data[pos] & 0x7F;
+    uint32_t size = ((uint32_t)data[pos + 1] << 16)
+        | ((uint32_t)data[pos + 2] << 8) | data[pos + 3];
+    if (btype == 0 && size >= 18) {
+      flac::BitReader br{data.data() + pos + 4, size, 0};
+      br.read(16); br.read(16); br.read(24); br.read(24);
+      sample_rate = (int)br.read(20);
+      channels = (int)br.read(3) + 1;
+      bps = (int)br.read(5) + 1;
+      total = (int64_t)br.read(36);
+      have_streaminfo = true;
+    }
+    pos += 4 + size;
+    if (last) break;
+  }
+  if (!have_streaminfo || channels <= 0 || bps <= 0) return 3;
+
+  flac::BitReader br{data.data(), (size_t)fsize, pos * 8};
+  std::vector<int64_t> ch0;
+  if (total > 0) ch0.reserve((size_t)total);
+  std::vector<std::vector<int64_t>> subframes((size_t)channels);
+  while (!br.at_end() && (total == 0 || (int64_t)ch0.size() < total)) {
+    uint64_t sync = br.read(14);
+    if (br.fail) break;
+    if (sync != 0x3FFE) return 4;
+    br.read(1); br.read(1);
+    int bs_code = (int)br.read(4);
+    int sr_code = (int)br.read(4);
+    int ch_assign = (int)br.read(4);
+    int ss_code = (int)br.read(3);
+    br.read(1);
+    br.read_utf8();
+    int block_size;
+    if (bs_code == 6) block_size = (int)br.read(8) + 1;
+    else if (bs_code == 7) block_size = (int)br.read(16) + 1;
+    else if (bs_code == 0) return 4;
+    else block_size = flac::kBlockSizeTable[bs_code];
+    if (sr_code == 12) br.read(8);
+    else if (sr_code == 13 || sr_code == 14) br.read(16);
+    int frame_bps = ss_code == 0 ? bps : flac::kSampleSizeTable[ss_code];
+    br.read(8);  // crc8
+
+    int n_ch = ch_assign < 8 ? ch_assign + 1 : 2;
+    if (n_ch > channels) return 4;
+    for (int c = 0; c < n_ch; c++) {
+      int extra = 0;
+      if (ch_assign == 8 && c == 1) extra = 1;       // left/side
+      else if (ch_assign == 9 && c == 0) extra = 1;  // right/side
+      else if (ch_assign == 10 && c == 1) extra = 1; // mid/side
+      if (!flac::read_subframe(br, block_size, frame_bps + extra,
+                               subframes[(size_t)c]))
+        return 5;
+    }
+    br.align();
+    br.read(16);  // crc16
+    if (br.fail) return 5;
+
+    // channel 0 after decorrelation
+    if (ch_assign < 8 || ch_assign == 8) {
+      // independent, or left/side (channel 0 = left already)
+      for (int i = 0; i < block_size; i++)
+        ch0.push_back(subframes[0][(size_t)i]);
+    } else if (ch_assign == 9) {  // right/side: left = right + side
+      for (int i = 0; i < block_size; i++)
+        ch0.push_back(subframes[1][(size_t)i] + subframes[0][(size_t)i]);
+    } else {  // mid/side
+      for (int i = 0; i < block_size; i++) {
+        int64_t mid = subframes[0][(size_t)i];
+        int64_t side = subframes[1][(size_t)i];
+        mid = (mid << 1) | (side & 1);
+        ch0.push_back((mid + side) >> 1);
+      }
+    }
+  }
+  int64_t n = total > 0 && (int64_t)ch0.size() > total
+      ? total : (int64_t)ch0.size();
+  float* buf = (float*)std::malloc(sizeof(float) * (size_t)(n > 0 ? n : 1));
+  if (!buf) return 6;
+  double scale = 1.0 / (double)((int64_t)1 << (bps - 1));
+  for (int64_t i = 0; i < n; i++) buf[i] = (float)(ch0[(size_t)i] * scale);
+  *out = buf;
+  *out_n = n;
+  *out_sr = sample_rate;
+  return 0;
+}
+
 // ----------------------------------------------------------- resampling
 static double bessel_i0(double x) {
   // power series; converges fast for the beta range used

@@ -7,9 +7,8 @@ Neither torchaudio nor soundfile exists in this image, so:
 
 - WAV: native reader on top of the stdlib ``wave`` module + numpy
   (PCM16/24/32 and float32), plus a writer for tests/tools.
-- FLAC: gated — tries soundfile if it ever appears, otherwise raises
-  with a clear message (LibriSpeech FLACs need a decoder; a native C++
-  decoder is on the native-runtime roadmap).
+- FLAC: native C++ decoder (``native/tsasr_native.cpp:tsasr_flac_read``)
+  with a pure-Python full-spec fallback (``tsasr_tpu/data/flac.py``).
 - Resampling: windowed-sinc polyphase (Kaiser window) implemented with
   numpy; gcd reduction of the rate ratio, identical conv structure to the
   reference's Resample so outputs agree closely.
@@ -42,19 +41,16 @@ def read_audio(path):
         return _read_wav(path)
     if ext == ".flac":
         try:
-            import soundfile
+            from tsasr_tpu import native
+            result = native.flac_read(path)
+            if result is not None:
+                return result
         except ImportError:
-            # The reference falls back .wav <-> .flac; mirror that
-            alt = path[: -len(".flac")] + ".wav"
-            if os.path.exists(alt):
-                return _read_wav(alt)
-            raise RuntimeError(
-                f"No FLAC decoder available for {path} (soundfile not "
-                f"installed and no .wav sibling found)")
-        data, sr = soundfile.read(path, dtype="float32")
-        if data.ndim > 1:
-            data = data[:, 0]
-        return np.ascontiguousarray(data, np.float32), sr
+            pass
+        from tsasr_tpu.data.flac import read_flac
+        samples, sr, bps = read_flac(path)
+        data = samples[:, 0].astype(np.float32) / float(1 << (bps - 1))
+        return np.ascontiguousarray(data), sr
     raise ValueError(f"Unsupported audio format: {path}")
 
 

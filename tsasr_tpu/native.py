@@ -54,6 +54,10 @@ def get_lib(auto_build=True):
         ctypes.c_char_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int)]
     lib.tsasr_wav_read.restype = ctypes.c_int
+    lib.tsasr_flac_read.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int)]
+    lib.tsasr_flac_read.restype = ctypes.c_int
     lib.tsasr_resample.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
@@ -93,6 +97,21 @@ def wav_read(path):
     sr = ctypes.c_int()
     rc = lib.tsasr_wav_read(path.encode(), ctypes.byref(out),
                             ctypes.byref(n), ctypes.byref(sr))
+    if rc != 0:
+        return None
+    return _take_floats(lib, out, n.value), sr.value
+
+
+def flac_read(path):
+    """Native FLAC decode -> (float32 (L,), sr); None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = ctypes.POINTER(ctypes.c_float)()
+    n = ctypes.c_int64()
+    sr = ctypes.c_int()
+    rc = lib.tsasr_flac_read(path.encode(), ctypes.byref(out),
+                             ctypes.byref(n), ctypes.byref(sr))
     if rc != 0:
         return None
     return _take_floats(lib, out, n.value), sr.value
