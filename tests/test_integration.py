@@ -171,6 +171,59 @@ class TestPretrainedVariantDebug:
         assert "valid WER" in log
 
 
+    @pytest.mark.skipif(not os.environ.get("TSASR_SLOW_TESTS"),
+                        reason="~30 min of jit compiles on the 1-core "
+                               "CI host; run with TSASR_SLOW_TESTS=1 "
+                               "(passed 2026-08-16). Component parity is "
+                               "covered by tests/test_wavlm.py.")
+    def test_pretrained_variant_jax_wavlm(self, synth_data, tmp_path,
+                                          monkeypatch):
+        """Full-parity pretrained path: a local (random-weight) HF WavLM
+        checkpoint is loaded by the JAX port and embeds enrollment audio
+        inside the jitted step — no torch on the hot path."""
+        transformers = pytest.importorskip("transformers")
+        from tsasr_tpu.recipes.librispeechmix import run_experiment
+
+        ckpt_dir = tmp_path / "wavlm_sv_tiny"
+        hf_cfg = transformers.WavLMConfig(
+            hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=48, conv_dim=[8, 8], conv_kernel=[4, 3],
+            conv_stride=[2, 2], num_feat_extract_layers=2,
+            num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+            num_buckets=20, max_bucket_distance=40,
+            use_weighted_layer_sum=True, tdnn_dim=[16, 16, 24],
+            tdnn_kernel=[3, 3, 1], tdnn_dilation=[1, 2, 1],
+            xvector_output_dim=24, mask_time_prob=0.0,
+            mask_feature_prob=0.0)
+        transformers.WavLMForXVector(hf_cfg).save_pretrained(str(ckpt_dir))
+
+        monkeypatch.chdir(tmp_path)
+        hparams = os.path.join(os.path.dirname(__file__), "..",
+                               "hparams", "LibriSpeechMix",
+                               "conformer-t_wavlm.yaml")
+        chars = set()
+        for split in ("train-2mix", "dev-clean-2mix", "test-clean-2mix"):
+            with open(os.path.join(synth_data, f"{split}.jsonl")) as f:
+                for line in f:
+                    for text in json.loads(line)["texts"]:
+                        chars.update("▁" + text.replace(" ", "▁"))
+        brain = run_experiment(variant="pretrained", argv=[
+            hparams, "--data_folder", synth_data,
+            "--debug", "--noprogressbar",
+            "--vocab_size", str(len(chars) + 1),
+            "--encoder_num_layers", "1", "--d_ffn", "64",
+            "--d_model", "32", "--nhead", "4",
+            "--decoder_neurons", "24", "--joint_dim", "48",
+            "--num_epochs", "1", "--beam_size", "1",
+            "--speaker_encoder_path", str(ckpt_dir),
+            "--speaker_embedding_dim", "24",
+        ])
+        assert brain.speaker_encoder is not None
+        out_dir = "results/LibriSpeechMix/Conformer-T_WavLM/0"
+        log = open(os.path.join(out_dir, "train_log.txt")).read()
+        assert "valid WER" in log
+
+
 class TestResumeAndPromptTest:
     def test_fit_resume_from_checkpoint(self, synth_data, tmp_path,
                                         monkeypatch):

@@ -58,6 +58,24 @@ from tsasr_tpu.utils.stage import Stage
 logger = logging.getLogger(__name__)
 
 
+def resolve_speaker_backend(hparams):
+    """Pick the frozen-speaker-encoder backend for the ``pretrained``
+    variant: ``jax`` (on-device flax WavLM-XVector port, full parity) or
+    ``torch_cache`` (host HF model + disk d-vector cache). ``auto``
+    (default) selects jax when ``speaker_encoder_path`` is a local
+    checkpoint directory, else torch_cache (hub ids need HF/torch)."""
+    get = hparams.get if hasattr(hparams, "get") else (
+        lambda k, d=None: getattr(hparams, k, d))
+    backend = get("speaker_encoder_backend", "auto")
+    if backend != "auto":
+        return backend
+    path = get("speaker_encoder_path", "")
+    if path and os.path.isdir(path) and os.path.exists(
+            os.path.join(path, "config.json")):
+        return "jax"
+    return "torch_cache"
+
+
 class TSASRBrain(Brain):
     """Target-speaker ASR trainer over a ``TSTransducer`` model."""
 
@@ -72,6 +90,16 @@ class TSASRBrain(Brain):
         self._current_epoch = 0
         self._greedy = None
         self._beam = None
+        self.speaker_encoder = None
+        if (variant == "pretrained"
+                and resolve_speaker_backend(self.hparams) == "jax"):
+            from tsasr_tpu.recipes.speaker_embeddings import \
+                JaxSpeakerEncoder
+            self.speaker_encoder = JaxSpeakerEncoder(
+                self.hparams.speaker_encoder_path,
+                frame_level=(getattr(self.hparams, "injection_mode", None)
+                             == "cross_attention"),
+                embedding_dim=self.hparams.speaker_embedding_dim)
 
     # ------------------------------------------------------------ batches
     def batch_to_arrays(self, batch):
@@ -92,7 +120,7 @@ class TSASRBrain(Brain):
                             ).astype(np.float32),
             "weight": np.ones(len(batch), np.float32),
         }
-        if self.variant == "scratch":
+        if self.variant == "scratch" or self.speaker_encoder is not None:
             arrays["enroll_sig"] = batch.enroll_sig.data.astype(np.float32)
             arrays["enroll_lens"] = batch.enroll_sig.lengths
         elif self.variant == "pretrained":
@@ -111,7 +139,7 @@ class TSASRBrain(Brain):
             "tokens_lens": np.ones(2, np.float32),
             "weight": np.ones(2, np.float32),
         }
-        if self.variant == "scratch":
+        if self.variant == "scratch" or self.speaker_encoder is not None:
             batch["enroll_sig"] = np.zeros((2, sr), np.float32)
             batch["enroll_lens"] = np.ones(2, np.float32)
         elif self.variant == "pretrained":
@@ -156,9 +184,18 @@ class TSASRBrain(Brain):
             efeats = input_normalization(efeats, erel)
             return {"enroll_feats": efeats, "enroll_rel_lens": erel}
         if self.variant == "pretrained":
+            erel = jnp.asarray(batch["enroll_lens"])
+            if self.speaker_encoder is not None:
+                # full-parity path: frozen JAX WavLM-XVector in-jit
+                # (reference runs HF under no_grad per batch,
+                # train_librispeechmix_pretrained.py:45-63)
+                embs = self.speaker_encoder.embed(
+                    jnp.asarray(batch["enroll_sig"]), erel)
+                return {"external_speaker_embs": embs,
+                        "enroll_rel_lens": erel}
             return {"external_speaker_embs":
                     jnp.asarray(batch["speaker_embs"]),
-                    "enroll_rel_lens": jnp.asarray(batch["enroll_lens"])}
+                    "enroll_rel_lens": erel}
         return {}
 
     def compute_forward(self, params, batch, stage, rng):
@@ -210,6 +247,35 @@ class TSASRBrain(Brain):
         return jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1.0)
 
     # ----------------------------------------------------------- decoding
+    def _load_fusion_lm(self):
+        """Optional RNN-LM shallow fusion (lm_weight > 0 + lm_path set):
+        -> (lm_step_fn, lm_weight, lm_initial_state_fn) or None.
+        Reference: decoders/transducer.py:311-314,386-409."""
+        weight = float(getattr(self.hparams, "lm_weight", 0.0) or 0.0)
+        path = getattr(self.hparams, "lm_path", None)
+        if weight <= 0 or not path:
+            return None
+        import flax.serialization
+        from tsasr_tpu.models.lm import (RNNLM, RNNLMConfig,
+                                         make_lm_step_fn)
+        with open(path, "rb") as f:
+            payload = flax.serialization.msgpack_restore(f.read())
+        cfg = getattr(self.hparams, "lm_config", None)
+        if cfg is None and "config" in payload:
+            cfg = RNNLMConfig(**{k: int(v) if not isinstance(v, float)
+                                 else float(v)
+                                 for k, v in payload["config"].items()})
+        if cfg is None:
+            cfg = RNNLMConfig(vocab_size=self.hparams.vocab_size)
+        lm = RNNLM(cfg)
+        variables = {"params": payload.get("params", payload)}
+        step_fn = make_lm_step_fn(lm, variables)
+
+        def initial_state_fn(n):
+            return lm.apply(variables, n, method=lm.initial_state)
+
+        return step_fn, weight, initial_state_fn
+
     def _maybe_build_searchers(self):
         if self._greedy is None:
             self._greedy = TransducerGreedySearcher(
@@ -217,20 +283,31 @@ class TSASRBrain(Brain):
                 blank_index=self.hparams.blank_index)
         if self._beam is None:
             backend = getattr(self.hparams, "beam_backend", "batched")
+            fusion = self._load_fusion_lm()
             if self.hparams.beam_size <= 1:
                 self._beam = self._greedy
             elif backend == "batched":
                 from tsasr_tpu.decoding import BatchedBeamSearcher
+                lm_kwargs = {}
+                if fusion is not None:
+                    lm_kwargs = {"lm_step_fn": fusion[0],
+                                 "lm_weight": fusion[1],
+                                 "lm_initial_state_fn": fusion[2]}
                 self._beam = BatchedBeamSearcher(
                     self.model, self.params,
                     blank_index=self.hparams.blank_index,
                     beam_size=self.hparams.beam_size, nbest=1,
-                    expand_beam=self.hparams.expand_beam)
+                    expand_beam=self.hparams.expand_beam, **lm_kwargs)
             else:
+                lm_kwargs = {}
+                if fusion is not None:
+                    lm_kwargs = {"lm_step_fn": fusion[0],
+                                 "lm_weight": fusion[1]}
                 self._beam = TransducerBeamSearcher(
                     self.model, self.params,
                     blank_index=self.hparams.blank_index,
                     beam_size=self.hparams.beam_size, nbest=1,
+                    **lm_kwargs,
                     state_beam=self.hparams.state_beam,
                     expand_beam=self.hparams.expand_beam)
         self._greedy.update_params(self.params)
@@ -424,7 +501,10 @@ def dataio_prepare(hparams, tokenizer, variant="scratch"):
         tokenizer, blank_index=hparams["blank_index"]))
     output_keys = ["id", "mixed_sig", "enroll_sig", "tokens_bos",
                    "tokens", "target_words"]
-    if variant == "pretrained":
+    if (variant == "pretrained"
+            and resolve_speaker_backend(hparams) == "torch_cache"):
+        # host d-vector cache; the jax backend consumes enroll_sig
+        # directly and embeds in-jit
         from tsasr_tpu.recipes.speaker_embeddings import \
             make_speaker_embedding_pipeline
         add_dynamic_item(datasets,

@@ -4,11 +4,17 @@ variant.
 The reference loads HF ``AutoModelForAudioXVector`` (WavLM-base-sv) and
 runs it frozen under no_grad per batch
 (``/root/reference/train_librispeechmix_pretrained.py:45-63,557-562``).
-Since the embedding of an enrollment wav is deterministic and frozen, we
-compute it once on host (torch-cpu transformers) and cache it on disk —
-the capability-equivalent fast path (SURVEY.md §7 hard-part 7); the TPU
-step consumes the cached vectors. A JAX WavLM port is the full-parity
-path and layers in behind the same pipeline key.
+Two backends:
+
+- ``JaxSpeakerEncoder`` — the full-parity path: the flax WavLM-XVector
+  port (``tsasr_tpu/models/wavlm.py``, numerically pinned vs HF torch)
+  runs frozen *inside the jitted train step*, so enrollment embedding
+  rides the same TPU program as the rest of the forward. Loads an HF
+  checkpoint directory (config.json + safetensors/bin); no torch import
+  on the hot path.
+- host torch + disk cache — since the embedding of an enrollment wav is
+  deterministic and frozen, compute once on host and cache as .npy
+  (SURVEY.md §7 hard-part 7); useful when only a hub id is available.
 
 Network egress is unavailable in some deployments, so the HF model must
 resolve from a local path / populated HF cache; a clear error explains
@@ -21,6 +27,54 @@ import os
 import numpy as np
 
 logger = logging.getLogger(__name__)
+
+
+class JaxSpeakerEncoder:
+    """Frozen on-device WavLM-XVector (loads once, applies in-jit).
+
+    ``embed(wav, rel_lens)`` returns (B, 1, E) pooled d-vectors, or
+    (B, S, embedding_dim) frame-level features when ``frame_level``
+    (the reference's cross_attention mode takes
+    ``hidden_states[-1][..., :speaker_embedding_dim]``,
+    train_librispeechmix_pretrained.py:58-63).
+    """
+
+    def __init__(self, model_path, frame_level=False, embedding_dim=512):
+        from tsasr_tpu.models.wavlm import (WavLMForXVector,
+                                            load_pretrained_xvector)
+        if not (os.path.isdir(model_path) and os.path.exists(
+                os.path.join(model_path, "config.json"))):
+            raise FileNotFoundError(
+                f"speaker_encoder_path '{model_path}' is not a local HF "
+                f"checkpoint directory (config.json + weights). Download "
+                f"the WavLM-sv checkpoint beforehand, or set "
+                f"speaker_encoder_backend: torch_cache.")
+        self.config, self.variables = load_pretrained_xvector(model_path)
+        self.module = WavLMForXVector(self.config)
+        self.frame_level = frame_level
+        self.embedding_dim = embedding_dim
+        n_params = sum(int(np.prod(x.shape)) for x in
+                       __import__("jax").tree_util.tree_leaves(
+                           self.variables))
+        logger.info("%dM parameters in frozen speaker encoder",
+                    round(n_params / 1e6))
+
+    def embed(self, wav, rel_lens):
+        """(B, L) waveforms + relative lengths -> speaker embeddings.
+        jit-safe; gradients are stopped (the encoder is frozen, like the
+        reference's no_grad)."""
+        import jax
+        import jax.numpy as jnp
+
+        L = wav.shape[1]
+        # the reference masks with (lens * L).ceil().clamp(max=L)
+        lengths = jnp.minimum(jnp.ceil(rel_lens * L), L).astype(jnp.int32)
+        out = self.module.apply(self.variables, wav, lengths)
+        if self.frame_level:
+            embs = out["hidden_states"][-1][..., : self.embedding_dim]
+        else:
+            embs = out["embeddings"][:, None, :]
+        return jax.lax.stop_gradient(embs)
 
 _MODEL_CACHE = {}
 
