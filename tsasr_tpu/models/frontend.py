@@ -10,9 +10,14 @@ dropout). The recipe uses 2 blocks, kernel 3, stride (2,2), residual=True
 
 Padding semantics reproduce the reference exactly
 (``nnet/CNN.py:640-716,1478-1499``):
-- ``same`` with stride>1 pads floor(k/2) on both sides of each spatial dim
-  (so out_len = ceil(in_len / stride) for k=3);
-- ``causal`` left-pads (k-1) on the *time* dim and same-pads the freq dim.
+- ``same`` with stride>1 pads floor(k/2) on both sides of each spatial
+  dim (so out_len = ceil(in_len / stride) for k=3) with REFLECT values
+  (``CNN.py:578`` padding_mode="reflect") — pinned bit-close by the
+  full-model parity test;
+- ``causal`` left-pads (k-1) on the *time* dim and same-pads the freq
+  dim. Deviation: causal pads with zeros (reference reflects) so the
+  streaming cache (zero-init) is exactly the offline computation; the
+  recipe's causal yaml accepts this documented difference.
 
 Layout is (B, T, F, C) channels-last, the native layout for TPU convs.
 """
@@ -72,10 +77,21 @@ class ConvBlock(nn.Module):
                 pad = [(0, 0), _pad_amounts(k, s, True)[1]]
             else:
                 pad = _pad_amounts(k, s, self.causal)
+            if not streaming and not self.causal:
+                # the reference 'same' convs REFLECT-pad
+                # (nnet/CNN.py:578 padding_mode="reflect", :640-716)
+                out = jnp.pad(out, [(0, 0), pad[0], pad[1], (0, 0)],
+                              mode="reflect")
+                pad = "VALID"
             out = nn.Conv(self.out_channels, kernel_size=k, strides=s,
                           padding=pad,
                           dtype=self.dtype, name=f"conv_{i}")(out)
-            out = nn.LayerNorm(dtype=self.dtype, name=f"norm_{i}")(out)
+            # the reference LayerNorm normalizes over (freq, channels)
+            # jointly with per-(F,C) affine (normalization.py:206-212:
+            # input_size = input_shape[2:] on a (B,T,F,C) input)
+            out = nn.LayerNorm(reduction_axes=(-2, -1),
+                               feature_axes=(-2, -1), epsilon=1e-5,
+                               dtype=self.dtype, name=f"norm_{i}")(out)
             out = self.activation(out)
             out = nn.Dropout(self.dropout,
                              deterministic=deterministic)(out)
@@ -84,7 +100,9 @@ class ConvBlock(nn.Module):
                           strides=(self.stride, self.stride),
                           padding="VALID", dtype=self.dtype,
                           name="residual_conv")(x)
-            res = nn.LayerNorm(dtype=self.dtype, name="residual_norm")(res)
+            res = nn.LayerNorm(reduction_axes=(-2, -1),
+                               feature_axes=(-2, -1), epsilon=1e-5,
+                               dtype=self.dtype, name="residual_norm")(res)
             out = out + res
             out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
         if streaming:
