@@ -33,7 +33,8 @@ NEG = -1e30
 def beam_search_batched(predict_step, joint_step, initial_state, enc_out,
                         rel_lengths=None, blank=0, beam_size=4,
                         max_symbols=200, max_expansions=3,
-                        expand_beam=2.3):
+                        expand_beam=2.3, lm_step_fn=None, lm_weight=0.0,
+                        lm_initial_state=None):
     """
     Arguments
     ---------
@@ -47,6 +48,12 @@ def beam_search_batched(predict_step, joint_step, initial_state, enc_out,
     max_symbols : token buffer capacity per hypothesis.
     max_expansions : non-blank expansion rounds per frame.
     expand_beam : mask expansions worse than best - expand_beam.
+    lm_step_fn : optional shallow-fusion LM, fn (tokens (N,), state) ->
+        (log_probs (N, V), state); non-blank expansions gain
+        ``lm_weight * log p_lm(token)`` and the LM state advances with
+        the emission (reference decoders/transducer.py:386-409).
+    lm_weight : fusion weight (0 disables).
+    lm_initial_state : LM state for N = B*K streams (required with LM).
 
     Returns
     -------
@@ -66,6 +73,8 @@ def beam_search_batched(predict_step, joint_step, initial_state, enc_out,
     def unflat(x):
         return x.reshape((B, K) + x.shape[1:])
 
+    use_lm = lm_step_fn is not None and lm_weight > 0
+
     # initial PN forward on blank for every stream
     bos = jnp.full((B * K,), blank, jnp.int32)
     dec0, state0 = predict_step(bos, initial_state)
@@ -77,6 +86,10 @@ def beam_search_batched(predict_step, joint_step, initial_state, enc_out,
         "dec": unflat(dec0),
         "state": state0,               # leaves (..., B*K, H)
     }
+    if use_lm:
+        lm_logp0, lm_state0 = lm_step_fn(bos, lm_initial_state)
+        carry["lm_logp"] = unflat(lm_logp0)          # (B, K, V)
+        carry["lm_state"] = lm_state0
 
     def gather_streams(tree, src):     # src: (B, K) indices into K
         flat_src = (src + jnp.arange(B)[:, None] * K).reshape(-1)
@@ -95,13 +108,18 @@ def beam_search_batched(predict_step, joint_step, initial_state, enc_out,
         enc_flat = jnp.repeat(enc_t, K, axis=0)          # (B*K, J)
 
         def expansion(ecarry, _):
-            tokens, lengths, scores, dec, state, frozen = ecarry
+            (tokens, lengths, scores, dec, state, frozen,
+             lm_logp, lm_state) = ecarry
             logp = unflat(joint_step(enc_flat, flat(dec)))   # (B, K, V)
             V = logp.shape[-1]
             blank_lp = logp[..., blank]
             stay_scores = jnp.where(frozen, scores,
                                     scores + blank_lp)       # (B, K)
             expand_total = scores[..., None] + logp          # (B, K, V)
+            if use_lm:
+                # fusion only on non-blank expansions (blank column is
+                # overwritten with NEG below anyway)
+                expand_total = expand_total + lm_weight * lm_logp
             # frozen hyps and the blank column cannot expand
             expand_total = expand_total.at[..., blank].set(NEG)
             expand_total = jnp.where(frozen[..., None], NEG,
@@ -149,13 +167,31 @@ def beam_search_batched(predict_step, joint_step, initial_state, enc_out,
                     _bcast_mask(emit.reshape(-1), old), new, old),
                 new_state, state_g)
 
+            if use_lm:
+                lm_logp_g = jnp.take_along_axis(lm_logp, src[..., None],
+                                                axis=1)
+                lm_state_g = gather_streams(lm_state, src)
+                new_lm_logp, new_lm_state = lm_step_fn(flat(new_tok),
+                                                       lm_state_g)
+                lm_logp_new = jnp.where(emit[..., None], unflat(new_lm_logp),
+                                        lm_logp_g)
+                lm_state_new = jax.tree.map(
+                    lambda new, old: jnp.where(
+                        _bcast_mask(emit.reshape(-1), old), new, old),
+                    new_lm_state, lm_state_g)
+            else:
+                lm_logp_new, lm_state_new = lm_logp, lm_state
+
             frozen_new = frozen_g | is_stay
             return (tokens, lengths_new, top_scores, unflat(dec_new),
-                    state_new, frozen_new), None
+                    state_new, frozen_new, lm_logp_new, lm_state_new), None
 
         ecarry = (carry["tokens"], carry["lengths"], carry["scores"],
-                  carry["dec"], carry["state"], frozen)
-        (tokens, lengths, scores, dec, state, frozen), _ = jax.lax.scan(
+                  carry["dec"], carry["state"], frozen,
+                  carry.get("lm_logp", jnp.zeros(())),
+                  carry.get("lm_state", jnp.zeros(())))
+        (tokens, lengths, scores, dec, state, frozen, lm_logp,
+         lm_state), _ = jax.lax.scan(
             expansion, ecarry, None, length=max_expansions)
 
         # force unfrozen hyps to consume their blank
@@ -166,15 +202,24 @@ def beam_search_batched(predict_step, joint_step, initial_state, enc_out,
         # frames past the valid length change nothing
         valid = t < abs_len                                   # (B,)
         out = {}
-        for key, new in [("tokens", tokens), ("lengths", lengths),
-                         ("scores", scores), ("dec", dec)]:
+        updates = [("tokens", tokens), ("lengths", lengths),
+                   ("scores", scores), ("dec", dec)]
+        if use_lm:
+            updates.append(("lm_logp", lm_logp))
+        for key, new in updates:
             old = carry[key]
             mask = valid.reshape((B,) + (1,) * (new.ndim - 1))
             out[key] = jnp.where(mask, new, old)
+        stream_valid = jnp.repeat(valid, K)
         out["state"] = jax.tree.map(
             lambda new, old: jnp.where(
-                _bcast_mask(jnp.repeat(valid, K), old), new, old),
+                _bcast_mask(stream_valid, old), new, old),
             state, carry["state"])
+        if use_lm:
+            out["lm_state"] = jax.tree.map(
+                lambda new, old: jnp.where(
+                    _bcast_mask(stream_valid, old), new, old),
+                lm_state, carry["lm_state"])
         return out, None
 
     carry, _ = jax.lax.scan(
@@ -204,7 +249,8 @@ class BatchedBeamSearcher:
 
     def __init__(self, model, params, blank_index=0, beam_size=4,
                  nbest=1, expand_beam=2.3, max_expansions=3,
-                 max_symbols=300):
+                 max_symbols=300, lm_step_fn=None, lm_weight=0.0,
+                 lm_initial_state_fn=None):
         self.model = model
         self.params = params
         self.blank = blank_index
@@ -213,6 +259,13 @@ class BatchedBeamSearcher:
         self.expand_beam = expand_beam
         self.max_expansions = max_expansions
         self.max_symbols = max_symbols
+        self.lm_step_fn = lm_step_fn
+        self.lm_weight = lm_weight
+        self.lm_initial_state_fn = lm_initial_state_fn
+        if lm_weight > 0 and (lm_step_fn is None
+                              or lm_initial_state_fn is None):
+            raise ValueError("lm_weight > 0 requires lm_step_fn and "
+                             "lm_initial_state_fn")
         self._jitted = jax.jit(self._decode)
 
     def update_params(self, params):
@@ -234,12 +287,16 @@ class BatchedBeamSearcher:
         state0 = self.model.apply(
             params, B * self.beam_size,
             method=self.model.predictor_initial_state)
+        lm_state0 = None
+        if self.lm_weight > 0:
+            lm_state0 = self.lm_initial_state_fn(B * self.beam_size)
         return beam_search_batched(
             predict_step, joint_step, state0, enc_out, rel_lengths,
             blank=self.blank, beam_size=self.beam_size,
             max_symbols=self.max_symbols,
             max_expansions=self.max_expansions,
-            expand_beam=self.expand_beam)
+            expand_beam=self.expand_beam, lm_step_fn=self.lm_step_fn,
+            lm_weight=self.lm_weight, lm_initial_state=lm_state0)
 
     def __call__(self, enc_out, rel_lengths=None):
         import numpy as np
