@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Host input-pipeline throughput probe (TPU-starvation risk gauge).
+
+SURVEY.md hard-part 6: the host does on-the-fly mixture synthesis
+(decode + resample + gain/delay/sum) per example; if the loader cannot
+produce audio faster than the device consumes it, the TPU starves. This
+probe measures the full host path — manifest -> dynamic items (audio
+decode, mixing, tokenization) -> PaddedBatch with TPU quantization —
+and reports produced audio-seconds per wall-second, compared to the
+device's measured consumption (bench.py throughput x mixture length).
+
+Usage:
+    python tools/probe_input_pipeline.py --data_folder /tmp/data \
+        [--device_samples_per_sec 400] [--mix_sec 4]
+
+Prints one JSON line:
+    {"host_audio_sec_per_sec": ..., "host_samples_per_sec": ...,
+     "device_samples_per_sec": ..., "starvation_ratio": ...}
+starvation_ratio > 1 means the host keeps up (with the measured margin).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data_folder", required=True)
+    ap.add_argument("--hparams", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "hparams", "LibriSpeechMix", "conformer-t_scratch.yaml"))
+    ap.add_argument("--device_samples_per_sec", type=float, default=None,
+                    help="measured device throughput (bench.py); "
+                         "enables the starvation ratio")
+    ap.add_argument("--mix_sec", type=float, default=4.0)
+    ap.add_argument("--seconds", type=float, default=20.0,
+                    help="probe duration")
+    ap.add_argument("--vocab_size", type=int, default=None)
+    args = ap.parse_args()
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+
+    from tsasr_tpu.recipes.librispeechmix import (
+        build_dataloader_kwargs,
+        dataio_prepare,
+    )
+    from tsasr_tpu.data.loader import SaveableDataLoader
+    from tsasr_tpu.data.prepare import prepare_librispeechmix
+    from tsasr_tpu.data.tokenizer import train_tokenizer
+    from tsasr_tpu.utils.hparams import load_hyperpyyaml
+
+    with open(args.hparams) as f:
+        hparams = load_hyperpyyaml(f, overrides={
+            "data_folder": args.data_folder,
+            "output_folder": "/tmp/probe_input_pipeline"})
+    os.makedirs(hparams["save_folder"], exist_ok=True)
+    prepare_librispeechmix(
+        data_folder=args.data_folder,
+        save_folder=hparams["save_folder"],
+        splits=hparams["splits"])
+    # the yaml's manifest keys point under save_folder
+    if not os.path.exists(hparams["train_json"]):
+        raise FileNotFoundError(hparams["train_json"])
+
+    import glob
+    import json as _json
+    texts = []
+    for manifest in glob.glob(os.path.join(args.data_folder,
+                                           "train*.jsonl")):
+        with open(manifest) as f:
+            for line in f:
+                texts.extend(_json.loads(line)["texts"])
+    if args.vocab_size is None:
+        chars = {c for t in texts
+                 for c in ("▁" + t.replace(" ", "▁"))}
+        args.vocab_size = len(chars) + 1
+    tokenizer = train_tokenizer(hparams["save_folder"], texts,
+                                vocab_size=args.vocab_size,
+                                model_type="char")
+
+    train_data, _, _ = dataio_prepare(hparams, tokenizer)
+    kwargs = build_dataloader_kwargs(hparams, train_data, "train")
+    loader = SaveableDataLoader(train_data, **kwargs)
+
+    # measure: full epoch loops until the probe budget elapses
+    start = time.perf_counter()
+    audio_sec = 0.0
+    n_samples = 0
+    n_batches = 0
+    deadline = start + args.seconds
+    while time.perf_counter() < deadline:
+        for batch in loader:
+            sig = batch.mixed_sig
+            lens = sig.lengths * sig.data.shape[1]
+            audio_sec += float(lens.sum()) / hparams["sample_rate"]
+            n_samples += sig.data.shape[0]
+            n_batches += 1
+            if time.perf_counter() >= deadline:
+                break
+    elapsed = time.perf_counter() - start
+
+    host_audio_rate = audio_sec / elapsed
+    host_sample_rate = n_samples / elapsed
+    result = {
+        "host_audio_sec_per_sec": round(host_audio_rate, 2),
+        "host_samples_per_sec": round(host_sample_rate, 2),
+        "batches": n_batches,
+        "probe_seconds": round(elapsed, 2),
+    }
+    if args.device_samples_per_sec:
+        device_audio_rate = args.device_samples_per_sec * args.mix_sec
+        result["device_samples_per_sec"] = args.device_samples_per_sec
+        result["starvation_ratio"] = round(
+            host_audio_rate / device_audio_rate, 3)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
