@@ -1,0 +1,110 @@
+"""Diarization tests: clustering recovery on synthetic embeddings +
+RTTM plumbing (reference processing/diarization.py)."""
+
+import numpy as np
+import pytest
+
+from tsasr_tpu.processing.diarization import (
+    SpectralClusterer,
+    ahc_cluster,
+    cosine_similarity_matrix,
+    diarize_segments,
+    merge_ssegs_same_speaker,
+    p_prune,
+    read_rttm,
+    spectral_cluster,
+    write_rttm,
+)
+
+
+def _synthetic_embs(n_spk=3, per_spk=12, dim=16, sep=6.0, noise=0.4,
+                    seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0, sep, size=(n_spk, dim))
+    embs, labels = [], []
+    for s in range(n_spk):
+        embs.append(centers[s] + rng.normal(0, noise, (per_spk, dim)))
+        labels.extend([s] * per_spk)
+    return np.concatenate(embs), np.asarray(labels)
+
+
+def _cluster_accuracy(pred, true):
+    """Best-permutation agreement (tiny k: brute force)."""
+    import itertools
+    ks = sorted(set(pred))
+    best = 0.0
+    for perm in itertools.permutations(sorted(set(true)), len(ks)):
+        mapping = dict(zip(ks, perm))
+        acc = np.mean([mapping.get(p, -1) == t
+                       for p, t in zip(pred, true)])
+        best = max(best, acc)
+    return best
+
+
+class TestSpectralClustering:
+    def test_recovers_oracle_k(self):
+        embs, true = _synthetic_embs()
+        labels = spectral_cluster(embs, n_spkrs=3)
+        assert _cluster_accuracy(labels, true) == 1.0
+
+    def test_eigengap_estimates_k(self):
+        for n_spk in (2, 3, 4):
+            embs, true = _synthetic_embs(n_spk=n_spk, seed=n_spk)
+            labels = spectral_cluster(embs, n_spkrs=None, pval=0.5)
+            assert len(set(labels.tolist())) == n_spk, n_spk
+            assert _cluster_accuracy(labels, true) == 1.0
+
+    def test_p_prune_keeps_fraction(self):
+        A = cosine_similarity_matrix(_synthetic_embs()[0])
+        P = p_prune(A, 0.25)
+        n = A.shape[0]
+        kept = (P != 0).sum(axis=1)
+        assert np.all(kept <= int(round(n * 0.25)) + 1)
+
+    def test_single_segment(self):
+        labels = SpectralClusterer()(np.ones((1, 8)))
+        assert labels.tolist() == [0]
+
+
+class TestAHC:
+    def test_oracle_k(self):
+        embs, true = _synthetic_embs(n_spk=2, per_spk=6)
+        labels = ahc_cluster(embs, n_spkrs=2)
+        assert _cluster_accuracy(labels, true) == 1.0
+
+    def test_threshold_stop(self):
+        embs, true = _synthetic_embs(n_spk=3, per_spk=5)
+        labels = ahc_cluster(embs, n_spkrs=None, threshold=0.5)
+        assert len(set(labels.tolist())) == 3
+        assert _cluster_accuracy(labels, true) == 1.0
+
+
+class TestRTTM:
+    def test_merge_same_speaker(self):
+        segs = [("rec", 0.0, 1.0, "a"), ("rec", 1.0, 2.0, "a"),
+                ("rec", 2.0, 3.0, "b"), ("rec", 3.0, 4.0, "a")]
+        merged = merge_ssegs_same_speaker(segs)
+        assert merged == [("rec", 0.0, 2.0, "a"), ("rec", 2.0, 3.0, "b"),
+                          ("rec", 3.0, 4.0, "a")]
+
+    def test_write_read_roundtrip(self, tmp_path):
+        segs = [("rec1", 0.0, 1.5, "spk_0"), ("rec1", 1.5, 2.25, "spk_1")]
+        path = str(tmp_path / "out.rttm")
+        write_rttm(segs, path)
+        back = read_rttm(path)
+        assert len(back) == 2
+        for (r1, s1, e1, l1), (r2, s2, e2, l2) in zip(segs, back):
+            assert (r1, l1) == (r2, l2)
+            assert abs(s1 - s2) < 1e-3 and abs(e1 - e2) < 1e-3
+
+    def test_diarize_segments_end_to_end(self, tmp_path):
+        embs, true = _synthetic_embs(n_spk=2, per_spk=4)
+        windows = [(i * 1.0, (i + 1) * 1.0) for i in range(len(true))]
+        segs, labels = diarize_segments(embs, windows, rec_id="meeting",
+                                        n_spkrs=2)
+        assert _cluster_accuracy(labels, true) == 1.0
+        # 2 speakers, contiguous blocks of 4 -> 2 merged segments
+        assert len(segs) == 2
+        path = str(tmp_path / "d.rttm")
+        write_rttm(segs, path)
+        assert len(read_rttm(path)) == 2
