@@ -1,33 +1,37 @@
 #!/usr/bin/env python
-"""Benchmark: full training-step throughput of the flagship TS-ASR model.
+"""Benchmark: full PRODUCTION training-step throughput of the flagship
+TS-ASR model, plus the RNN-T loss step time as a first-class metric
+(BASELINE.md targets table).
 
-Measures samples/sec/chip for the scratch-variant Conformer transducer
-(12-layer d256 encoder + 6-layer speaker encoder + LSTM predictor + RNN-T
-loss + AdamW update) on a realistic dynamic-batch shape (the recipe packs
-<= 50 s of audio per batch per rank, conformer-t_scratch.yaml:64-73).
+The measured step is the recipe's real training configuration
+(conformer-t_scratch.yaml): in-jit speed perturb + SpecAugment, dropout
+active, 12-layer d256 Conformer encoder + 6-layer speaker encoder + LSTM
+predictor + RNN-T loss + clipped AdamW update — not a stripped eval
+graph. Batch is sized toward TPU HBM (4x the reference's 50 s
+audio/batch/rank budget; v5e fits far more than a 16 GB V100).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line:
+  {"metric", "value", "unit", "vs_baseline",
+   "rnnt_loss_step_ms", "mfu_pct", "audio_sec_per_batch", "precision"}
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); the
 denominator is a documented engineering estimate of the PyTorch recipe's
 per-GPU throughput on its 8xV100 setup (~8 samples/s/GPU for ~4 s
-utterances at batch*accum that fills 50 s/rank: V100 fp32/amp Conformer-T
-recipes of this size typically sustain ~0.5-1x real-time x batch).
-Driver-recorded BENCH_r{N}.json values supersede this estimate across
-rounds.
+utterances at batch*accum that fills 50 s/rank). Driver-recorded
+BENCH_r{N}.json values supersede this estimate across rounds.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 BASELINE_SAMPLES_PER_SEC_PER_CHIP = 8.0   # documented estimate, see above
+V5E_BF16_PEAK_FLOPS = 197e12              # per chip (public spec)
 
 
 def main():
-    import os
-
     import jax
 
     # persistent compilation cache: compiles over the TPU tunnel are
@@ -42,14 +46,15 @@ def main():
 
     from tsasr_tpu.models.transducer import TSTransducer, TSTransducerConfig
     from tsasr_tpu.ops import Fbank, input_normalization
+    from tsasr_tpu.ops.augment import spec_augment, speed_perturb
     from tsasr_tpu.ops.rnnt_loss import rnnt_loss
     from tsasr_tpu.training.schedulers import noam_schedule
 
-    import os
-
-    # realistic 2-mix bucket: 12 x 4 s mixture (48 s audio/batch),
+    # production 2-mix bucket, scaled toward HBM: 48 x 4 s mixtures
+    # (192 s audio/batch/chip vs the reference's 50 s/V100),
     # 5 s enrollments, ~60 char targets
-    B, mix_sec, enr_sec, U = 12, 4, 5, 60
+    B = int(os.environ.get("BENCH_BATCH", "48"))
+    mix_sec, enr_sec, U = 4, 5, 60
     sr = 16000
     # bf16 compute is the TPU-native production configuration (the
     # reference's bf16_mix_prec equivalent); BENCH_PRECISION=fp32 to
@@ -73,19 +78,37 @@ def main():
     def features(w, r):
         return input_normalization(fbank(w), r)
 
+    def augmented_features(w, r, key):
+        # the recipe's in-jit train-time pipeline
+        # (recipes/librispeechmix.py:_mixture_features)
+        k_speed, k_spec = jax.random.split(key)
+        w, factor = speed_perturb(w, k_speed, sample_rate=sr)
+        r = jnp.minimum(r * factor, 1.0)
+        feats = input_normalization(fbank(w), r)
+        feats = spec_augment(
+            feats, k_spec, time_warp=True, time_warp_window=5,
+            freq_mask=True, freq_mask_width=30, n_freq_mask=2,
+            time_mask=True, time_mask_width=20, n_time_mask=2,
+            replace_with_zero=False)
+        return feats, r
+
     params = model.init(jax.random.PRNGKey(0), features(wav, rel), rel,
                         tokens_bos, features(enroll, rel), rel)
     tx = optax.chain(optax.clip_by_global_norm(5.0),
                      optax.adamw(noam_schedule(1e-3, 10000)))
     opt_state = tx.init(params)
 
-    def train_step(params, opt_state, wav, enroll, rel, tokens_bos):
+    def train_step(params, opt_state, wav, enroll, rel, tokens_bos, key):
+        k_aug, k_drop = jax.random.split(key)
+
         def loss_fn(p):
-            logits, _ = model.apply(p, features(wav, rel), rel, tokens_bos,
+            feats, r = augmented_features(wav, rel, k_aug)
+            logits, _ = model.apply(p, feats, r, tokens_bos,
                                     features(enroll, rel), rel,
-                                    deterministic=True)
+                                    deterministic=False,
+                                    rngs={"dropout": k_drop})
             tokens = tokens_bos[:, 1:]
-            t_lens = jnp.round(rel * logits.shape[1]).astype(jnp.int32)
+            t_lens = jnp.round(r * logits.shape[1]).astype(jnp.int32)
             u_lens = jnp.full((B,), U, jnp.int32)
             return rnnt_loss(logits, tokens, t_lens, u_lens,
                              reduction="mean")
@@ -110,44 +133,103 @@ def main():
         rng.integers(1, 29, size=(steps_per_call, B, U + 1)),
         jnp.int32).at[:, :, 0].set(0)
 
-    def multi_step(params, opt_state, wavs, enrolls, rel, tokens_stack):
+    def multi_step(params, opt_state, wavs, enrolls, rel, tokens_stack,
+                   key):
+        keys = jax.random.split(key, wavs.shape[0])
+
         def body(carry, xs):
             p, o = carry
-            w, e, tb = xs
-            p, o, loss = train_step(p, o, w, e, rel, tb)
+            w, e, tb, k = xs
+            p, o, loss = train_step(p, o, w, e, rel, tb, k)
             return (p, o), loss
 
         (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), (wavs, enrolls, tokens_stack))
+            body, (params, opt_state), (wavs, enrolls, tokens_stack, keys))
         return params, opt_state, losses[-1]
 
     step = jax.jit(multi_step, donate_argnums=(0, 1))
 
+    # FLOP count for the MFU estimate (XLA's own cost model). XLA counts
+    # a scan body ONCE regardless of trip count (verified empirically),
+    # so multiply by steps_per_call; the inner train_step's own scans
+    # (loss wavefront, LSTM) are still undercounted -> MFU is a floor.
+    try:
+        cost = step.lower(params, opt_state, wavs, enrolls, rel,
+                          tokens_stack, jax.random.PRNGKey(1)
+                          ).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        total_flops = float(cost.get("flops", 0.0)) * steps_per_call
+    except Exception:
+        total_flops = 0.0
+
     # warmup: compile AND pay the tunnel's one-time first-readback setup
     # (~80 s on this deployment) outside the timed section
     params, opt_state, loss = step(params, opt_state, wavs, enrolls,
-                                   rel, tokens_stack)
+                                   rel, tokens_stack, jax.random.PRNGKey(1))
     float(loss)
 
     n_calls = 5
     times = []
-    for _ in range(n_calls):
+    for i in range(n_calls):
         start = time.perf_counter()
         params, opt_state, loss = step(params, opt_state, wavs, enrolls,
-                                       rel, tokens_stack)
+                                       rel, tokens_stack,
+                                       jax.random.PRNGKey(2 + i))
         float(loss)   # real device->host read: cannot return early
         times.append(time.perf_counter() - start)
     per_call = float(np.median(times))
 
     n_chips = max(len(jax.devices()), 1)
     samples_per_sec_per_chip = (B * steps_per_call) / per_call / n_chips
-    print(json.dumps({
+    mfu_pct = (total_flops / per_call / n_chips / V5E_BF16_PEAK_FLOPS
+               * 100.0) if total_flops else None
+
+    # ---- RNN-T loss step time (BASELINE.md first-class metric):
+    # loss value+grad on the benched logits shape, scanned like the
+    # train step so dispatch latency is amortized identically
+    logits_shape = (B, (mix_sec * sr // 160 + 1) // 4, U + 1,
+                    cfg.vocab_size)
+    logits_stack = jnp.asarray(
+        rng.normal(size=(steps_per_call,) + logits_shape) * 2.0,
+        jnp.float32)
+    tokens = tokens_stack[..., 1:]
+    t_lens = jnp.full((B,), logits_shape[1], jnp.int32)
+    u_lens = jnp.full((B,), U, jnp.int32)
+
+    def loss_multi(logits_stack):
+        def body(acc, lg):
+            val, g = jax.value_and_grad(
+                lambda x: rnnt_loss(x, tokens[0], t_lens, u_lens,
+                                    reduction="mean"))(lg)
+            return acc + val + g.mean(), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), logits_stack)
+        return acc
+
+    loss_step = jax.jit(loss_multi)
+    float(loss_step(logits_stack))   # warmup/compile
+    loss_times = []
+    for _ in range(n_calls):
+        start = time.perf_counter()
+        float(loss_step(logits_stack))
+        loss_times.append(time.perf_counter() - start)
+    rnnt_loss_step_ms = float(np.median(loss_times)) / steps_per_call * 1e3
+
+    result = {
         "metric": "train_samples_per_sec_per_chip",
         "value": round(samples_per_sec_per_chip, 3),
         "unit": "samples/s/chip",
         "vs_baseline": round(samples_per_sec_per_chip
                              / BASELINE_SAMPLES_PER_SEC_PER_CHIP, 3),
-    }))
+        "rnnt_loss_step_ms": round(rnnt_loss_step_ms, 2),
+        "audio_sec_per_batch": B * mix_sec,
+        "precision": precision,
+        "augmented": True,
+    }
+    if mfu_pct is not None:
+        result["mfu_pct"] = round(mfu_pct, 2)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

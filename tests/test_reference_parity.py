@@ -568,3 +568,49 @@ class TestFullModelParity:
         assert our_hyps == [list(h) for h in ref_hyps]
         # non-degenerate check: random weights must still emit something
         assert any(len(h) > 0 for h in our_hyps)
+
+
+class TestSincConvParity:
+    def test_sincconv_matches_reference(self, sb, torch, rng):
+        """Copy the reference SincConv's learned (low_hz_, band_hz_) into
+        our flax port and pin outputs (init + filter synthesis + conv)."""
+        from speechbrain.nnet.CNN import SincConv as RefSinc
+        x_np = rng.normal(size=(2, 800)).astype(np.float32)
+        for stride, padding in [(1, "same"), (4, "same"), (1, "causal"),
+                                (1, "valid")]:
+            ref = RefSinc(out_channels=8, kernel_size=101,
+                          input_shape=(2, 800), stride=stride,
+                          padding=padding, sample_rate=16000).eval()
+            with torch.no_grad():
+                # nudge the params away from init to test the dynamics
+                ref.low_hz_ += 13.0
+                ref.band_hz_ *= 1.1
+                ref_out = ref(torch.from_numpy(x_np)).numpy()
+
+            from tsasr_tpu.models.sinc import SincConv
+            ours = SincConv(out_channels=8, kernel_size=101,
+                            sample_rate=16000, stride=stride,
+                            padding=padding)
+            params = {"params": {
+                "low_hz_": jnp.asarray(ref.low_hz_.detach().numpy()),
+                "band_hz_": jnp.asarray(ref.band_hz_.detach().numpy())}}
+            our_out = np.asarray(ours.apply(params, jnp.asarray(x_np)))
+            assert our_out.shape == ref_out.shape, (stride, padding)
+            np.testing.assert_allclose(our_out, ref_out, atol=2e-4,
+                                       err_msg=f"{stride} {padding}")
+
+    def test_mel_spaced_init_matches(self, sb, torch):
+        from speechbrain.nnet.CNN import SincConv as RefSinc
+        ref = RefSinc(out_channels=16, kernel_size=101,
+                      input_shape=(1, 400), sample_rate=16000)
+        from tsasr_tpu.models.sinc import SincConv
+        ours = SincConv(out_channels=16, kernel_size=101,
+                        sample_rate=16000)
+        params = ours.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 400)))["params"]
+        np.testing.assert_allclose(
+            np.asarray(params["low_hz_"]),
+            ref.low_hz_.detach().numpy(), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(params["band_hz_"]),
+            ref.band_hz_.detach().numpy(), rtol=1e-5)
