@@ -614,3 +614,37 @@ class TestSincConvParity:
         np.testing.assert_allclose(
             np.asarray(params["band_hz_"]),
             ref.band_hz_.detach().numpy(), rtol=1e-5)
+
+
+class TestBicubicWarpParity:
+    def test_cubic_gather_matches_torch_interpolate(self, torch, rng):
+        """The warp's cubic time gather == torch F.interpolate
+        (bicubic, align_corners=True) run per segment exactly like the
+        reference time_warp (lobes/augment.py:115-149)."""
+        import torch.nn.functional as F
+
+        from tsasr_tpu.ops.augment import _cubic_gather_time
+
+        B, T, Fdim = 2, 17, 6
+        x_np = rng.normal(size=(B, T, Fdim)).astype(np.float32)
+        for c, w in [(10, 13), (10, 7), (5, 5), (12, 4)]:
+            xt = torch.from_numpy(x_np)[:, None]        # (B,1,T,F)
+            left = F.interpolate(xt[:, :, :c], (w, Fdim),
+                                 mode="bicubic", align_corners=True)
+            right = F.interpolate(xt[:, :, c:], (T - w, Fdim),
+                                  mode="bicubic", align_corners=True)
+            ref = torch.cat([left, right], dim=2)[:, 0].numpy()
+
+            t = np.arange(T)
+            left_pos = t * (c - 1) / max(w - 1, 1)
+            right_pos = c + (t - w) * (T - c - 1) / max(T - w - 1, 1)
+            is_left = t < w
+            pos = np.where(is_left, left_pos, right_pos)
+            lo = np.where(is_left, 0, c)
+            hi = np.where(is_left, c - 1, T - 1)
+            pos = np.clip(pos, lo, hi)
+            ours = np.asarray(_cubic_gather_time(
+                jnp.asarray(x_np), jnp.asarray(pos), jnp.asarray(lo),
+                jnp.asarray(hi)))
+            np.testing.assert_allclose(ours, ref, atol=2e-5,
+                                       err_msg=f"c={c} w={w}")

@@ -15,10 +15,11 @@ jit-safe (no Python randomness, static shapes):
   per batch element there; one per batch here keeps shapes static — the
   distributional effect is equivalent at batch sizes used).
 
-The reference's bicubic time warp uses torch's align_corners=True
-interpolation; we use linear interpolation with align-corners index
-mapping (the warp is random jitter — the interpolation kernel is not
-behavior-critical, documented deviation).
+The time warp matches the reference's ``time_warp_mode: bicubic``:
+torch's cubic convolution kernel (a = -0.75) with align_corners=True
+index maps and border-replicated taps. Along frequency the reference's
+2D interpolate is the identity (same size + align_corners), so a 1D
+cubic gather along time is the exact computation.
 """
 
 import functools
@@ -82,11 +83,36 @@ def spec_augment(x, rng, time_warp=True, time_warp_window=5,
     return x
 
 
-def _time_warp(x, rng, window):
-    """Stretch [0, c) to [0, w) and [c, T) to [w, T) with random c, w.
+def _cubic_weight(t, a=-0.75):
+    """torch's cubic convolution kernel (upsample bicubic, a=-0.75)."""
+    t = jnp.abs(t)
+    inner = (a + 2) * t ** 3 - (a + 3) * t ** 2 + 1
+    outer = a * t ** 3 - 5 * a * t ** 2 + 8 * a * t - 4 * a
+    return jnp.where(t <= 1, inner, jnp.where(t < 2, outer, 0.0))
 
-    Shapes stay static: the warp is realized as a gather with a
-    piecewise-linear index map (one draw per batch, like the reference).
+
+def _cubic_gather_time(x, pos, lo_limit, hi_limit):
+    """Sample x (B, T, F) at float time positions with the bicubic
+    kernel; taps are clamped to [lo_limit, hi_limit] (torch replicates
+    the border pixel). ``pos``/limits may be traced scalars/vectors."""
+    base = jnp.floor(pos).astype(jnp.int32)
+    frac = pos - base
+    out = 0.0
+    for k in (-1, 0, 1, 2):
+        idx = jnp.clip(base + k, lo_limit, hi_limit)
+        weight = _cubic_weight(frac - k)[None, :, None]
+        out = out + x[:, idx] * weight
+    return out
+
+
+def _time_warp(x, rng, window):
+    """Stretch [0, c) to [0, w) and [c, T) to [w, T) with random c, w
+    (reference lobes/augment.py:115-149, time_warp_mode=bicubic).
+
+    Shapes stay static: the warp is realized as a cubic-kernel gather
+    with align-corners piecewise index maps (one draw per batch, like
+    the reference); each segment's taps are clamped inside the segment,
+    reproducing torch's border replication per interpolate call.
     """
     T = x.shape[1]
     if T - window <= window:
@@ -99,12 +125,12 @@ def _time_warp(x, rng, window):
     # positions [w, T) sample source [c, T)  (align-corners maps)
     left_pos = t * (c - 1) / jnp.maximum(w - 1, 1)
     right_pos = c + (t - w) * (T - c - 1) / jnp.maximum(T - w - 1, 1)
-    pos = jnp.where(t < w, left_pos, right_pos)
-    pos = jnp.clip(pos, 0, T - 1)
-    lo = jnp.floor(pos).astype(jnp.int32)
-    hi = jnp.minimum(lo + 1, T - 1)
-    frac = (pos - lo)[None, :, None]
-    return x[:, lo] * (1 - frac) + x[:, hi] * frac
+    is_left = t < w
+    pos = jnp.where(is_left, left_pos, right_pos)
+    lo_limit = jnp.where(is_left, 0, c)
+    hi_limit = jnp.where(is_left, c - 1, T - 1)
+    pos = jnp.clip(pos, lo_limit, hi_limit)
+    return _cubic_gather_time(x, pos, lo_limit, hi_limit)
 
 
 def resample_device(wav, orig_freq, new_freq):
