@@ -7,7 +7,7 @@ The measured step is the recipe's real training configuration
 (conformer-t_scratch.yaml): in-jit speed perturb + SpecAugment, dropout
 active, 12-layer d256 Conformer encoder + 6-layer speaker encoder + LSTM
 predictor + RNN-T loss + clipped AdamW update — not a stripped eval
-graph. Batch is sized toward TPU HBM (4x the reference's 50 s
+graph. Batch is sized toward TPU HBM (~8x the reference's 50 s
 audio/batch/rank budget; v5e fits far more than a 16 GB V100).
 
 Prints ONE JSON line:
@@ -50,10 +50,11 @@ def main():
     from tsasr_tpu.ops.rnnt_loss import rnnt_loss
     from tsasr_tpu.training.schedulers import noam_schedule
 
-    # production 2-mix bucket, scaled toward HBM: 48 x 4 s mixtures
-    # (192 s audio/batch/chip vs the reference's 50 s/V100),
-    # 5 s enrollments, ~60 char targets
-    B = int(os.environ.get("BENCH_BATCH", "48"))
+    # production 2-mix bucket, scaled toward HBM: 96 x 4 s mixtures
+    # (384 s audio/batch/chip vs the reference's 50 s/V100; B=48 gives
+    # 425 smp/s, B=96 441 — diminishing past that), 5 s enrollments,
+    # ~60 char targets
+    B = int(os.environ.get("BENCH_BATCH", "96"))
     mix_sec, enr_sec, U = 4, 5, 60
     sr = 16000
     # bf16 compute is the TPU-native production configuration (the
