@@ -238,3 +238,48 @@ class TestBoundedContext:
         o1 = m1.apply(params, feats, None, None, None, method=m1.encode)
         o2 = m2.apply(params, feats, None, None, None, method=m2.encode)
         assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+class TestEncoderClassifier:
+    def test_classify_batch_and_labels(self):
+        import jax.numpy as jnp
+
+        from tsasr_tpu.data.encoder import CategoricalEncoder
+        from tsasr_tpu.inference.classifier import EncoderClassifier
+
+        enc = CategoricalEncoder()
+        enc.update_from_iterable(["cat", "dog", "bird"])
+
+        def encode_fn(wavs, rels):
+            # class = index of the strongest of 3 bands (toy logits)
+            e = jnp.stack([wavs.mean(1), wavs.std(1), wavs.max(1)], -1)
+            return e
+
+        clf = EncoderClassifier(encode_fn, label_encoder=enc)
+        wavs = np.zeros((2, 100), np.float32)
+        wavs[0] += 5.0        # mean dominates -> class 0
+        wavs[1] = np.random.default_rng(0).normal(0, 1, 100) * 3  # std/max
+        log_probs, scores, indices, labels = clf.classify_batch(wavs)
+        assert log_probs.shape == (2, 3)
+        assert labels[0] == "cat"
+        assert float(scores[0]) <= 0.0
+
+    def test_classify_file(self, tmp_path):
+        import jax.numpy as jnp
+
+        from tsasr_tpu.data.audio import write_wav
+        from tsasr_tpu.data.encoder import CategoricalEncoder
+        from tsasr_tpu.inference.classifier import EncoderClassifier
+
+        enc = CategoricalEncoder()
+        enc.update_from_iterable(["quiet", "loud"])
+
+        def encode_fn(wavs, rels):
+            rms = jnp.sqrt((wavs ** 2).mean(1))
+            return jnp.stack([-rms, rms], -1) * 100
+
+        clf = EncoderClassifier(encode_fn, label_encoder=enc)
+        path = str(tmp_path / "loud.wav")
+        write_wav(path, 0.9 * np.ones(1600, np.float32), 16000)
+        _, _, idx, label = clf.classify_file(path)
+        assert label == "loud"

@@ -1,4 +1,7 @@
-"""Inference interfaces: offline transcription + chunked streaming."""
+"""Inference interfaces: transcription (offline/streaming), speaker
+verification, audio classification."""
 
 from tsasr_tpu.inference.transcriber import TSASRTranscriber  # noqa: F401
 from tsasr_tpu.inference.streaming import StreamingTranscriber  # noqa: F401
+from tsasr_tpu.inference.speaker import SpeakerRecognition  # noqa: F401
+from tsasr_tpu.inference.classifier import EncoderClassifier  # noqa: F401
