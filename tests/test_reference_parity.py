@@ -648,3 +648,135 @@ class TestBicubicWarpParity:
                 jnp.asarray(hi)))
             np.testing.assert_allclose(ours, ref, atol=2e-5,
                                        err_msg=f"c={c} w={w}")
+
+
+def _port_ecapa_tdnn_block(block):
+    """sb TDNNBlock -> flax TDNNBlock params/batch_stats."""
+    conv = block.conv.conv
+    bn = block.norm.norm
+    return ({"conv": {"kernel": _torch_np(conv.weight).transpose(2, 1, 0),
+                      "bias": _torch_np(conv.bias)},
+             "norm": {"scale": _torch_np(bn.weight),
+                      "bias": _torch_np(bn.bias)}},
+            {"norm": {"mean": _torch_np(bn.running_mean),
+                      "var": _torch_np(bn.running_var)}})
+
+
+def _port_conv1d(conv):
+    conv = conv.conv if hasattr(conv, "conv") else conv
+    return {"kernel": _torch_np(conv.weight).transpose(2, 1, 0),
+            "bias": _torch_np(conv.bias)}
+
+
+def _port_ecapa(ref, n_blocks):
+    params, stats = {}, {}
+
+    def put(dst, name, pair):
+        p, s = pair
+        params.setdefault(dst, {})[name] = p if name else p
+        if s:
+            stats.setdefault(dst, {})[name] = s
+
+    p0, s0 = _port_ecapa_tdnn_block(ref.blocks[0])
+    params["block_0"], stats["block_0"] = p0, s0
+    for i in range(1, n_blocks - 1):
+        blk = ref.blocks[i]
+        bp, bs = {}, {}
+        bp["tdnn1"], bs["tdnn1"] = _port_ecapa_tdnn_block(blk.tdnn1)
+        bp["tdnn2"], bs["tdnn2"] = _port_ecapa_tdnn_block(blk.tdnn2)
+        r2p, r2s = {}, {}
+        for j, sub in enumerate(blk.res2net_block.blocks):
+            r2p[f"block_{j}"], r2s[f"block_{j}"] = \
+                _port_ecapa_tdnn_block(sub)
+        bp["res2net"], bs["res2net"] = r2p, r2s
+        bp["se"] = {"conv1": _port_conv1d(blk.se_block.conv1),
+                    "conv2": _port_conv1d(blk.se_block.conv2)}
+        if blk.shortcut is not None:
+            bp["shortcut"] = _port_conv1d(blk.shortcut)
+        params[f"block_{i}"], stats[f"block_{i}"] = bp, bs
+    params["mfa"], stats["mfa"] = _port_ecapa_tdnn_block(ref.mfa)
+    asp_p, asp_s = {}, {}
+    asp_p["tdnn"], asp_s["tdnn"] = _port_ecapa_tdnn_block(ref.asp.tdnn)
+    asp_p["conv"] = _port_conv1d(ref.asp.conv)
+    params["asp"], stats["asp"] = asp_p, asp_s
+    bn = ref.asp_bn.norm
+    params["asp_bn"] = {"scale": _torch_np(bn.weight),
+                        "bias": _torch_np(bn.bias)}
+    stats["asp_bn"] = {"mean": _torch_np(bn.running_mean),
+                       "var": _torch_np(bn.running_var)}
+    params["fc"] = _port_conv1d(ref.fc)
+    return {"params": jax.tree.map(jnp.asarray, params),
+            "batch_stats": jax.tree.map(jnp.asarray, stats)}
+
+
+class TestECAPAParity:
+    def test_embeddings_match_reference(self, sb, torch, rng):
+        from speechbrain.lobes.models.ECAPA_TDNN import (
+            ECAPA_TDNN as RefECAPA,
+        )
+
+        from tsasr_tpu.models.ecapa import ECAPA_TDNN, ECAPAConfig
+
+        torch.manual_seed(11)
+        F_in, lin = 24, 16
+        channels = [32, 32, 32, 32, 96]
+        ref = RefECAPA(F_in, lin_neurons=lin, channels=channels,
+                       attention_channels=16, res2net_scale=4,
+                       se_channels=8)
+        # non-trivial running stats
+        with torch.no_grad():
+            for mod in ref.modules():
+                if isinstance(mod, torch.nn.BatchNorm1d):
+                    mod.running_mean.normal_(0, 0.2)
+                    mod.running_var.uniform_(0.5, 1.5)
+        ref.eval()
+
+        x_np = rng.normal(size=(3, 50, F_in)).astype(np.float32)
+        rel = np.asarray([1.0, 0.8, 0.5], np.float32)
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(x_np),
+                          lengths=torch.from_numpy(rel)).numpy()
+            ref_nolen = ref(torch.from_numpy(x_np)).numpy()
+
+        cfg = ECAPAConfig(input_size=F_in, lin_neurons=lin,
+                          channels=tuple(channels),
+                          attention_channels=16, res2net_scale=4,
+                          se_channels=8)
+        model = ECAPA_TDNN(cfg)
+        variables = _port_ecapa(ref, len(channels))
+        # template check
+        import flax
+        template = model.init(jax.random.PRNGKey(0),
+                              jnp.asarray(x_np), jnp.asarray(rel))
+        for col in ("params", "batch_stats"):
+            ft = flax.traverse_util.flatten_dict(template[col])
+            fp = flax.traverse_util.flatten_dict(variables[col])
+            assert set(ft) == set(fp), (col, sorted(set(ft) ^ set(fp)))
+            for k, v in fp.items():
+                assert ft[k].shape == v.shape, (col, k)
+
+        ours = np.asarray(model.apply(variables, jnp.asarray(x_np),
+                                      jnp.asarray(rel)))
+        np.testing.assert_allclose(ours, ref_out, atol=3e-4)
+        ours_nolen = np.asarray(model.apply(variables, jnp.asarray(x_np)))
+        np.testing.assert_allclose(ours_nolen, ref_nolen, atol=3e-4)
+
+    def test_cosine_classifier_matches(self, sb, torch, rng):
+        from speechbrain.lobes.models.ECAPA_TDNN import (
+            Classifier as RefClassifier,
+        )
+
+        from tsasr_tpu.models.ecapa import CosineClassifier
+
+        torch.manual_seed(3)
+        ref = RefClassifier(input_size=16, lin_neurons=16, out_neurons=10)
+        ref.eval()
+        x_np = rng.normal(size=(4, 1, 16)).astype(np.float32)
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(x_np)).numpy()
+        ours_mod = CosineClassifier(out_neurons=10, lin_neurons=16)
+        variables = {"params": {
+            "weight": jnp.asarray(_torch_np(ref.weight))}}
+        ours = np.asarray(ours_mod.apply(variables, jnp.asarray(x_np)))
+        assert ours.shape == ref_out.shape
+        np.testing.assert_allclose(ours, ref_out, atol=1e-5)

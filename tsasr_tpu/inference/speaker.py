@@ -47,6 +47,18 @@ class SpeakerRecognition:
         return cls(embed_fn, sample_rate=sample_rate, threshold=threshold)
 
     @classmethod
+    def from_ecapa(cls, model, variables, fbank, sample_rate=16000,
+                   threshold=0.5):
+        """ECAPA-TDNN (``models/ecapa.py``) over fbank features."""
+        from tsasr_tpu.ops import input_normalization
+
+        def embed_fn(wavs, rel_lens):
+            feats = input_normalization(fbank(wavs), rel_lens)
+            return model.apply(variables, feats, rel_lens)[:, 0, :]
+
+        return cls(embed_fn, sample_rate=sample_rate, threshold=threshold)
+
+    @classmethod
     def from_tsasr(cls, model, params, fbank, sample_rate=16000,
                    threshold=0.5):
         """Scratch speaker-encoder branch of a TSTransducer."""
