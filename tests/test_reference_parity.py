@@ -780,3 +780,93 @@ class TestECAPAParity:
         ours = np.asarray(ours_mod.apply(variables, jnp.asarray(x_np)))
         assert ours.shape == ref_out.shape
         np.testing.assert_allclose(ours, ref_out, atol=1e-5)
+
+
+class TestCRDNNParity:
+    def test_crdnn_matches_reference_with_lstm(self, sb, torch, rng):
+        """Full CRDNN (CNN blocks + projection + time pooling + BiLSTM +
+        DNN blocks) with ported weights matches the reference."""
+        from speechbrain.lobes.models.CRDNN import CRDNN as RefCRDNN
+        from speechbrain.nnet.RNN import LSTM as SbLSTM
+
+        from tsasr_tpu.models.crdnn import CRDNN, CRDNNConfig
+
+        torch.manual_seed(5)
+        F_in = 16
+        ref = RefCRDNN(
+            input_size=F_in, cnn_blocks=2, cnn_channels=[4, 8],
+            cnn_kernelsize=(3, 3), inter_layer_pooling_size=[2, 2],
+            time_pooling=True, time_pooling_size=2,
+            rnn_class=SbLSTM, rnn_layers=2, rnn_neurons=12,
+            rnn_bidirectional=True, dnn_blocks=2, dnn_neurons=10,
+            projection_dim=14, dropout=0.0)
+        ref.eval()
+        with torch.no_grad():
+            for mod in ref.modules():
+                if isinstance(mod, torch.nn.BatchNorm1d):
+                    mod.running_mean.normal_(0, 0.2)
+                    mod.running_var.uniform_(0.5, 1.5)
+        x_np = rng.normal(size=(2, 20, F_in)).astype(np.float32)
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(x_np)).numpy()
+
+        cfg = CRDNNConfig(
+            input_size=F_in, cnn_blocks=2, cnn_channels=(4, 8),
+            inter_layer_pooling_size=(2, 2), time_pooling=True,
+            time_pooling_size=2, rnn_layers=2, rnn_neurons=12,
+            rnn_bidirectional=True, dnn_blocks=2, dnn_neurons=10,
+            projection_dim=14, dropout=0.0)
+        model = CRDNN(cfg)
+
+        def conv_w(conv):
+            conv = conv.conv
+            return {"kernel": _torch_np(conv.weight).transpose(3, 2, 1, 0),
+                    "bias": _torch_np(conv.bias)}
+
+        def ln(mod):
+            return {"scale": _torch_np(mod.norm.weight),
+                    "bias": _torch_np(mod.norm.bias)}
+
+        params, stats = {}, {}
+        for i in range(2):
+            blk = getattr(ref.CNN, f"block_{i}")
+            params[f"block_{i}"] = {
+                "conv_1": conv_w(blk.conv_1), "norm_1": ln(blk.norm_1),
+                "conv_2": conv_w(blk.conv_2), "norm_2": ln(blk.norm_2)}
+        params["projection"] = _port_linear(ref.projection.linear)
+        params["projection_norm"] = ln(ref.projection.norm)
+        lstm = ref.RNN.rnn
+        rnn_p = {}
+        for layer in range(2):
+            for tag, suffix in (("", ""), ("_rev", "_reverse")):
+                rnn_p[f"l{layer}_w_ih{tag}"] = _torch_np(
+                    getattr(lstm, f"weight_ih_l{layer}{suffix}")).T
+                rnn_p[f"l{layer}_w_hh{tag}"] = _torch_np(
+                    getattr(lstm, f"weight_hh_l{layer}{suffix}")).T
+                rnn_p[f"l{layer}_b{tag}"] = (
+                    _torch_np(getattr(lstm, f"bias_ih_l{layer}{suffix}"))
+                    + _torch_np(getattr(lstm,
+                                        f"bias_hh_l{layer}{suffix}")))
+        params["rnn"] = rnn_p
+        for i in range(2):
+            blk = getattr(ref.DNN, f"block_{i}")
+            params[f"dnn_{i}"] = _port_linear(blk.linear)
+            bn = blk.norm.norm
+            params[f"dnn_norm_{i}"] = {"scale": _torch_np(bn.weight),
+                                       "bias": _torch_np(bn.bias)}
+            stats[f"dnn_norm_{i}"] = {
+                "mean": _torch_np(bn.running_mean),
+                "var": _torch_np(bn.running_var)}
+        variables = {"params": jax.tree.map(jnp.asarray, params),
+                     "batch_stats": jax.tree.map(jnp.asarray, stats)}
+
+        import flax
+        template = model.init(jax.random.PRNGKey(0), jnp.asarray(x_np))
+        for col in ("params", "batch_stats"):
+            ft = flax.traverse_util.flatten_dict(template[col])
+            fp = flax.traverse_util.flatten_dict(variables[col])
+            assert set(ft) == set(fp), (col, sorted(set(ft) ^ set(fp)))
+
+        ours = np.asarray(model.apply(variables, jnp.asarray(x_np)))
+        assert ours.shape == ref_out.shape
+        np.testing.assert_allclose(ours, ref_out, atol=3e-4)

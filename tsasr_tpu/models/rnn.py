@@ -119,6 +119,70 @@ def _lstm_cell(gates, c):
     return h, c
 
 
+def _lstm_layer(x, w_ih, w_hh, b, h0, c0, dtype):
+    """One LSTM direction over (B, U, F): bulk input matmul + scan."""
+    x_proj = jnp.einsum("buf,fg->bug", x.astype(dtype),
+                        w_ih.astype(dtype)) + b.astype(dtype)
+
+    def step(carry, xp):
+        h, c = carry
+        h, c = _lstm_cell(xp + h @ w_hh.astype(dtype), c)
+        return (h, c), h
+
+    (h, c), ys = jax.lax.scan(step, (h0, c0), jnp.swapaxes(x_proj, 0, 1))
+    return jnp.swapaxes(ys, 0, 1), h, c
+
+
+class BiLSTM(nn.Module):
+    """Multi-layer bidirectional LSTM (torch ``bidirectional=True``
+    semantics: each layer consumes the concat of both directions of the
+    previous layer). Full-sequence only — decoding never runs bidir."""
+
+    hidden_size: int
+    in_features: int
+    num_layers: int = 1
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        H = self.hidden_size
+        bound = 1.0 / math.sqrt(H)
+
+        def uniform(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        weights = []
+        size = self.in_features
+        for layer in range(self.num_layers):
+            per_dir = []
+            for tag in ("", "_rev"):
+                per_dir.append((
+                    self.param(f"l{layer}_w_ih{tag}", uniform,
+                               (size, 4 * H)),
+                    self.param(f"l{layer}_w_hh{tag}", uniform,
+                               (H, 4 * H)),
+                    self.param(f"l{layer}_b{tag}", uniform, (4 * H,)),
+                ))
+            weights.append(per_dir)
+            size = 2 * H
+        self.weights = weights
+
+    def __call__(self, x, deterministic=True):
+        B = x.shape[0]
+        H = self.hidden_size
+        zeros = jnp.zeros((B, H), self.dtype)
+        out = x
+        for layer, (fwd, rev) in enumerate(self.weights):
+            y_f, _, _ = _lstm_layer(out, *fwd, zeros, zeros, self.dtype)
+            y_r, _, _ = _lstm_layer(out[:, ::-1], *rev, zeros, zeros,
+                                    self.dtype)
+            out = jnp.concatenate([y_f, y_r[:, ::-1]], axis=-1)
+            if self.dropout > 0 and layer < self.num_layers - 1:
+                out = nn.Dropout(self.dropout,
+                                 deterministic=deterministic)(out)
+        return out
+
+
 class GRU(nn.Module):
     """Multi-layer unidirectional GRU (torch gate order r, z, n),
     reference ``nnet/RNN.py`` GRU equivalent."""
