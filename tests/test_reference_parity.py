@@ -870,3 +870,43 @@ class TestCRDNNParity:
         ours = np.asarray(model.apply(variables, jnp.asarray(x_np)))
         assert ours.shape == ref_out.shape
         np.testing.assert_allclose(ours, ref_out, atol=3e-4)
+
+
+class TestLiGRUParity:
+    @pytest.mark.parametrize("bidirectional", [False, True])
+    def test_ligru_matches_reference(self, sb, torch, rng, bidirectional):
+        from speechbrain.nnet.RNN import LiGRU as RefLiGRU
+
+        from tsasr_tpu.models.rnn import LiGRU
+
+        torch.manual_seed(9)
+        F_in, H, L = 10, 8, 2
+        ref = RefLiGRU(hidden_size=H, input_shape=(3, 12, F_in),
+                       num_layers=L, bidirectional=bidirectional,
+                       dropout=0.0).eval()
+        with torch.no_grad():
+            for mod in ref.modules():
+                if isinstance(mod, torch.nn.BatchNorm1d):
+                    mod.running_mean.normal_(0, 0.2)
+                    mod.running_var.uniform_(0.5, 1.5)
+        x_np = rng.normal(size=(3, 12, F_in)).astype(np.float32)
+        with torch.no_grad():
+            ref_out, _ = ref(torch.from_numpy(x_np))
+        ref_out = ref_out.numpy()
+
+        ours = LiGRU(hidden_size=H, in_features=F_in, num_layers=L,
+                     bidirectional=bidirectional)
+        params, stats = {}, {}
+        for i, lay in enumerate(ref.rnn):
+            params[f"l{i}_w"] = {"kernel": _torch_np(lay.w.weight).T}
+            params[f"l{i}_u"] = _torch_np(lay.u.weight).T
+            params[f"l{i}_norm"] = {"scale": _torch_np(lay.norm.weight),
+                                    "bias": _torch_np(lay.norm.bias)}
+            stats[f"l{i}_norm"] = {
+                "mean": _torch_np(lay.norm.running_mean),
+                "var": _torch_np(lay.norm.running_var)}
+        variables = {"params": jax.tree.map(jnp.asarray, params),
+                     "batch_stats": jax.tree.map(jnp.asarray, stats)}
+        out, _ = ours.apply(variables, jnp.asarray(x_np))
+        assert out.shape == ref_out.shape
+        np.testing.assert_allclose(np.asarray(out), ref_out, atol=3e-5)

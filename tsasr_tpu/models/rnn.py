@@ -311,3 +311,87 @@ class VanillaRNN(nn.Module):
             out = jnp.swapaxes(ys, 0, 1)
             h_fin.append(h_l)
         return out, jnp.stack(h_fin)
+
+
+class LiGRU(nn.Module):
+    """Light-Gated Recurrent Unit (reference ``nnet/RNN.py`` LiGRU,
+    :1000-1330; Ravanelli et al. 2018) — the CRDNN default RNN.
+
+    Per layer: bias-free input projection to (a, z) gates, batch/layer
+    norm on the projection (computed for ALL steps as one matmul + one
+    norm), then the scan ``h = sigmoid(z) * h + (1 - sigmoid(z)) *
+    act(a)`` — no reset gate, ReLU candidate. Bidirectional mode stacks
+    the flipped sequence on the batch axis and runs the SAME weights in
+    both directions (an sb quirk, reproduced), concatenating features.
+    """
+
+    hidden_size: int
+    in_features: int
+    num_layers: int = 1
+    nonlinearity: str = "relu"
+    normalization: str = "batchnorm"
+    bidirectional: bool = False
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        H = self.hidden_size
+        bound = 1.0 / math.sqrt(H)
+
+        def uniform(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        ws, us, norms = [], [], []
+        size = self.in_features
+        for layer in range(self.num_layers):
+            ws.append(nn.Dense(2 * H, use_bias=False, dtype=self.dtype,
+                               name=f"l{layer}_w"))
+            us.append(self.param(f"l{layer}_u", uniform, (H, 2 * H)))
+            if self.normalization == "batchnorm":
+                norms.append(nn.BatchNorm(
+                    use_running_average=True, momentum=0.95,
+                    epsilon=1e-5, dtype=self.dtype,
+                    name=f"l{layer}_norm"))
+            else:
+                norms.append(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                          name=f"l{layer}_norm"))
+            size = 2 * H if self.bidirectional else H
+        self.ws, self.us, self.norms = ws, us, norms
+
+    def _act(self, x):
+        if self.nonlinearity == "tanh":
+            return jnp.tanh(x)
+        if self.nonlinearity == "leaky_relu":
+            return jax.nn.leaky_relu(x)
+        if self.nonlinearity == "sin":
+            return jnp.sin(x)
+        return jax.nn.relu(x)
+
+    def __call__(self, x):
+        H = self.hidden_size
+        out = x
+        h_last = []
+        for layer in range(self.num_layers):
+            if self.bidirectional:
+                stacked = jnp.concatenate([out, out[:, ::-1]], axis=0)
+            else:
+                stacked = out
+            w = self.norms[layer](self.ws[layer](stacked))
+            u = self.us[layer].astype(self.dtype)
+            h0 = jnp.zeros((stacked.shape[0], H), self.dtype)
+
+            def step(h, w_t, u=u):
+                gates = w_t + h @ u
+                a, z = jnp.split(gates, 2, axis=-1)
+                z = jax.nn.sigmoid(z)
+                h = z * h + (1 - z) * self._act(a)
+                return h, h
+
+            h_fin, ys = jax.lax.scan(step, h0, jnp.swapaxes(w, 0, 1))
+            h = jnp.swapaxes(ys, 0, 1)
+            if self.bidirectional:
+                B = out.shape[0]
+                h = jnp.concatenate([h[:B], h[B:, ::-1]], axis=-1)
+            out = h
+            h_last.append(h_fin)
+        return out, h_last
