@@ -910,3 +910,80 @@ class TestLiGRUParity:
         out, _ = ours.apply(variables, jnp.asarray(x_np))
         assert out.shape == ref_out.shape
         np.testing.assert_allclose(np.asarray(out), ref_out, atol=3e-5)
+
+
+class TestHifiGANParity:
+    @pytest.mark.parametrize("resblock_type", ["1", "2"])
+    def test_generator_matches_reference(self, sb, torch, rng,
+                                         resblock_type):
+        from speechbrain.lobes.models.HifiGAN import (
+            HifiganGenerator as RefGen,
+        )
+
+        from tsasr_tpu.models.hifigan import (
+            HifiganConfig,
+            HifiganGenerator,
+        )
+
+        torch.manual_seed(4)
+        dil = [[1, 3, 5], [1, 3, 5]] if resblock_type == "1" \
+            else [[1, 3], [1, 3]]
+        kwargs = dict(
+            in_channels=8, out_channels=1, resblock_type=resblock_type,
+            resblock_dilation_sizes=dil, resblock_kernel_sizes=[3, 5],
+            upsample_kernel_sizes=[8, 4], upsample_initial_channel=16,
+            upsample_factors=[4, 2])
+        ref = RefGen(**kwargs).eval()
+        ref.remove_weight_norm()   # fold g*v/||v|| into plain weights
+
+        x_np = rng.normal(size=(2, 8, 20)).astype(np.float32)  # (B,C,T)
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(x_np)).numpy()      # (B,1,T')
+
+        cfg = HifiganConfig(
+            in_channels=8, resblock_type=resblock_type,
+            resblock_dilation_sizes=tuple(map(tuple, dil)),
+            resblock_kernel_sizes=(3, 5), upsample_kernel_sizes=(8, 4),
+            upsample_initial_channel=16, upsample_factors=(4, 2))
+        model = HifiganGenerator(cfg)
+
+        def conv(mod):
+            m = mod.conv
+            return {"conv": {"kernel": _torch_np(m.weight
+                                                 ).transpose(2, 1, 0),
+                             "bias": _torch_np(m.bias)}}
+
+        params = {"conv_pre": conv(ref.conv_pre),
+                  "conv_post": conv(ref.conv_post)}
+        for i, up in enumerate(ref.ups):
+            m = up.conv
+            params[f"ups_{i}"] = {
+                "kernel": _torch_np(m.weight).transpose(2, 1, 0),
+                "bias": _torch_np(m.bias)}
+        for r, block in enumerate(ref.resblocks):
+            bp = {}
+            if resblock_type == "1":
+                for j, (c1, c2) in enumerate(zip(block.convs1,
+                                                 block.convs2)):
+                    bp[f"convs1_{j}"] = conv(c1)
+                    bp[f"convs2_{j}"] = conv(c2)
+            else:
+                for j, c1 in enumerate(block.convs):
+                    bp[f"convs_{j}"] = conv(c1)
+            params[f"resblocks_{r}"] = bp
+        variables = {"params": jax.tree.map(jnp.asarray, params)}
+
+        import flax
+        template = model.init(jax.random.PRNGKey(0),
+                              jnp.zeros((2, 20, 8)))["params"]
+        ft = flax.traverse_util.flatten_dict(template)
+        fp = flax.traverse_util.flatten_dict(variables["params"])
+        assert set(ft) == set(fp), sorted(set(ft) ^ set(fp))
+        for key, v in fp.items():
+            assert ft[key].shape == v.shape, key
+
+        ours = np.asarray(model.apply(variables,
+                                      jnp.asarray(x_np.transpose(0, 2, 1))))
+        ref_btc = ref_out.transpose(0, 2, 1)
+        assert ours.shape == ref_btc.shape, (ours.shape, ref_btc.shape)
+        np.testing.assert_allclose(ours, ref_btc, atol=3e-5)
