@@ -987,3 +987,177 @@ class TestHifiGANParity:
         ref_btc = ref_out.transpose(0, 2, 1)
         assert ours.shape == ref_btc.shape, (ours.shape, ref_btc.shape)
         np.testing.assert_allclose(ours, ref_btc, atol=3e-5)
+
+
+class TestTacotron2Parity:
+    @pytest.fixture(scope="class")
+    def t2_pair(self, sb, torch):
+        from speechbrain.lobes.models.Tacotron2 import (
+            Tacotron2 as RefTacotron2,
+        )
+
+        from tsasr_tpu.models.tacotron2 import Tacotron2, Tacotron2Config
+
+        torch.manual_seed(21)
+        kwargs = dict(
+            mask_padding=True, n_mel_channels=6, n_symbols=11,
+            symbols_embedding_dim=16, encoder_kernel_size=5,
+            encoder_n_convolutions=2, encoder_embedding_dim=16,
+            attention_rnn_dim=20, attention_dim=12,
+            attention_location_n_filters=4,
+            attention_location_kernel_size=5, n_frames_per_step=1,
+            decoder_rnn_dim=20, prenet_dim=12, max_decoder_steps=6,
+            gate_threshold=0.5, p_attention_dropout=0.0,
+            p_decoder_dropout=0.0, postnet_embedding_dim=12,
+            postnet_kernel_size=5, postnet_n_convolutions=3,
+            decoder_no_early_stopping=True)
+        ref = RefTacotron2(**kwargs).eval()
+        ref.decoder.prenet.dropout = 0.0   # kill the always-on dropout
+        with torch.no_grad():
+            for mod in ref.modules():
+                if isinstance(mod, torch.nn.BatchNorm1d):
+                    mod.running_mean.normal_(0, 0.2)
+                    mod.running_var.uniform_(0.5, 1.5)
+
+        cfg = Tacotron2Config(
+            n_symbols=11, symbols_embedding_dim=16,
+            n_mel_channels=6, encoder_kernel_size=5,
+            encoder_n_convolutions=2, encoder_embedding_dim=16,
+            attention_rnn_dim=20, attention_dim=12,
+            attention_location_n_filters=4,
+            attention_location_kernel_size=5, decoder_rnn_dim=20,
+            prenet_dim=12, prenet_dropout=0.0, max_decoder_steps=6,
+            p_attention_dropout=0.0, p_decoder_dropout=0.0,
+            postnet_embedding_dim=12, postnet_kernel_size=5,
+            postnet_n_convolutions=3)
+        model = Tacotron2(cfg)
+
+        def conv1d(mod):  # ConvNorm -> flax Conv
+            m = mod.conv
+            out = {"kernel": _torch_np(m.weight).transpose(2, 1, 0)}
+            if m.bias is not None:
+                out["bias"] = _torch_np(m.bias)
+            return out
+
+        def bn(mod):
+            return ({"scale": _torch_np(mod.weight),
+                     "bias": _torch_np(mod.bias)},
+                    {"mean": _torch_np(mod.running_mean),
+                     "var": _torch_np(mod.running_var)})
+
+        def lin(mod, bias=True):  # LinearNorm
+            m = mod.linear_layer
+            out = {"kernel": _torch_np(m.weight).T}
+            if bias:
+                out["bias"] = _torch_np(m.bias)
+            return out
+
+        params, stats = {"embedding": {
+            "embedding": _torch_np(ref.embedding.weight)}}, {}
+
+        enc_p, enc_s = {}, {}
+        for i, seq in enumerate(ref.encoder.convolutions):
+            enc_p[f"conv_{i}"] = conv1d(seq[0])
+            enc_p[f"norm_{i}"], enc_s[f"norm_{i}"] = bn(seq[1])
+        lstm = ref.encoder.lstm
+        enc_p["lstm"] = {}
+        for tag, suffix in (("", ""), ("_rev", "_reverse")):
+            enc_p["lstm"][f"l0_w_ih{tag}"] = _torch_np(
+                getattr(lstm, f"weight_ih_l0{suffix}")).T
+            enc_p["lstm"][f"l0_w_hh{tag}"] = _torch_np(
+                getattr(lstm, f"weight_hh_l0{suffix}")).T
+            enc_p["lstm"][f"l0_b{tag}"] = (
+                _torch_np(getattr(lstm, f"bias_ih_l0{suffix}"))
+                + _torch_np(getattr(lstm, f"bias_hh_l0{suffix}")))
+        params["encoder"], stats["encoder"] = enc_p, enc_s
+
+        dec = ref.decoder
+        dec_p = {"prenet": {
+            f"linear_{i}": lin(layer, bias=False)
+            for i, layer in enumerate(dec.prenet.layers)}}
+        dec_p["attention_rnn_w_ih"] = _torch_np(
+            dec.attention_rnn.weight_ih).T
+        dec_p["attention_rnn_w_hh"] = _torch_np(
+            dec.attention_rnn.weight_hh).T
+        dec_p["attention_rnn_b"] = (_torch_np(dec.attention_rnn.bias_ih)
+                                    + _torch_np(dec.attention_rnn.bias_hh))
+        attn = dec.attention_layer
+        dec_p["query_layer"] = lin(attn.query_layer, bias=False)
+        dec_p["memory_layer"] = lin(attn.memory_layer, bias=False)
+        dec_p["v"] = lin(attn.v, bias=False)
+        dec_p["location_conv"] = conv1d(attn.location_layer.location_conv)
+        dec_p["location_dense"] = lin(attn.location_layer.location_dense,
+                                      bias=False)
+        dec_p["decoder_rnn_w_ih"] = _torch_np(dec.decoder_rnn.weight_ih).T
+        dec_p["decoder_rnn_w_hh"] = _torch_np(dec.decoder_rnn.weight_hh).T
+        dec_p["decoder_rnn_b"] = (_torch_np(dec.decoder_rnn.bias_ih)
+                                  + _torch_np(dec.decoder_rnn.bias_hh))
+        dec_p["linear_projection"] = lin(dec.linear_projection)
+        dec_p["gate_layer"] = lin(dec.gate_layer)
+        params["decoder"] = dec_p
+
+        post_p, post_s = {}, {}
+        for i, seq in enumerate(ref.postnet.convolutions):
+            post_p[f"conv_{i}"] = conv1d(seq[0])
+            post_p[f"norm_{i}"], post_s[f"norm_{i}"] = bn(seq[1])
+        params["postnet"], stats["postnet"] = post_p, post_s
+
+        variables = {"params": jax.tree.map(jnp.asarray, params),
+                     "batch_stats": jax.tree.map(jnp.asarray, stats)}
+        return ref, model, variables
+
+    def test_teacher_forced_forward(self, t2_pair, torch, rng):
+        ref, model, variables = t2_pair
+        B, L, T_out, n_mel = 2, 9, 7, 6
+        tokens = rng.integers(0, 11, size=(B, L)).astype(np.int64)
+        targets = rng.normal(size=(B, n_mel, T_out)).astype(np.float32)
+        in_lens = torch.tensor([9, 6])
+        out_lens = torch.tensor([7, 5])
+        with torch.no_grad():
+            ref_mel, ref_post, ref_gate, ref_align = ref(
+                (torch.from_numpy(tokens), in_lens,
+                 torch.from_numpy(targets), L, out_lens))
+
+        # template check before apply
+        import flax
+        template = model.init(
+            {"params": jax.random.PRNGKey(0)}, jnp.asarray(tokens),
+            jnp.asarray([9, 6]),
+            jnp.asarray(targets.transpose(0, 2, 1)))
+        for col in ("params", "batch_stats"):
+            ft = flax.traverse_util.flatten_dict(template[col])
+            fp = flax.traverse_util.flatten_dict(variables[col])
+            assert set(ft) == set(fp), (col, sorted(set(ft) ^ set(fp)))
+            for k, v in fp.items():
+                assert ft[k].shape == v.shape, (col, k)
+
+        mels, mels_post, gates, aligns = model.apply(
+            variables, jnp.asarray(tokens), jnp.asarray([9, 6]),
+            jnp.asarray(targets.transpose(0, 2, 1)),
+            output_abs_lens=jnp.asarray([7, 5]))
+        np.testing.assert_allclose(np.asarray(mels),
+                                   ref_mel.numpy().transpose(0, 2, 1),
+                                   atol=3e-4)
+        np.testing.assert_allclose(np.asarray(mels_post),
+                                   ref_post.numpy().transpose(0, 2, 1),
+                                   atol=3e-4)
+        np.testing.assert_allclose(np.asarray(gates), ref_gate.numpy(),
+                                   atol=3e-3)
+        np.testing.assert_allclose(np.asarray(aligns),
+                                   ref_align.numpy(), atol=3e-5)
+
+    def test_infer_matches(self, t2_pair, torch, rng):
+        ref, model, variables = t2_pair
+        tokens = rng.integers(0, 11, size=(2, 8)).astype(np.int64)
+        lens = torch.tensor([8, 8])
+        with torch.no_grad():
+            ref_post, ref_lens, _ = ref.infer(torch.from_numpy(tokens),
+                                              lens)
+        mels_post, mel_lengths, _ = model.apply(
+            variables, jnp.asarray(tokens), jnp.asarray([8, 8]),
+            method=model.infer)
+        np.testing.assert_allclose(
+            np.asarray(mels_post),
+            ref_post.numpy().transpose(0, 2, 1), atol=3e-4)
+        np.testing.assert_array_equal(np.asarray(mel_lengths),
+                                      ref_lens.numpy())

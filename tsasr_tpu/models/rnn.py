@@ -167,16 +167,35 @@ class BiLSTM(nn.Module):
             size = 2 * H
         self.weights = weights
 
-    def __call__(self, x, deterministic=True):
-        B = x.shape[0]
+    def __call__(self, x, deterministic=True, abs_lengths=None):
+        """``abs_lengths`` reproduces torch ``pack_padded_sequence``
+        semantics: the reverse direction starts at each sample's last
+        VALID frame, and outputs beyond the length are zeroed."""
+        B, T = x.shape[0], x.shape[1]
         H = self.hidden_size
         zeros = jnp.zeros((B, H), self.dtype)
+        if abs_lengths is not None:
+            t = jnp.arange(T)[None, :]
+            valid = t < abs_lengths[:, None]                   # (B, T)
+            # reverse the valid prefix in place, keep the tail
+            rev_idx = jnp.where(valid, abs_lengths[:, None] - 1 - t, t)
         out = x
         for layer, (fwd, rev) in enumerate(self.weights):
             y_f, _, _ = _lstm_layer(out, *fwd, zeros, zeros, self.dtype)
-            y_r, _, _ = _lstm_layer(out[:, ::-1], *rev, zeros, zeros,
-                                    self.dtype)
-            out = jnp.concatenate([y_f, y_r[:, ::-1]], axis=-1)
+            if abs_lengths is None:
+                y_r, _, _ = _lstm_layer(out[:, ::-1], *rev, zeros, zeros,
+                                        self.dtype)
+                y_r = y_r[:, ::-1]
+            else:
+                x_rev = jnp.take_along_axis(out, rev_idx[..., None],
+                                            axis=1)
+                y_r, _, _ = _lstm_layer(x_rev, *rev, zeros, zeros,
+                                        self.dtype)
+                y_r = jnp.take_along_axis(y_r, rev_idx[..., None],
+                                          axis=1)
+            out = jnp.concatenate([y_f, y_r], axis=-1)
+            if abs_lengths is not None:
+                out = jnp.where(valid[..., None], out, 0.0)
             if self.dropout > 0 and layer < self.num_layers - 1:
                 out = nn.Dropout(self.dropout,
                                  deterministic=deterministic)(out)
