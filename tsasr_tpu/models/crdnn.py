@@ -9,10 +9,9 @@ mirrored exactly:
 - optional time max-pooling;
 - optional projection (Linear over flattened (F', C) -> LayerNorm ->
   act);
-- bidirectional multi-layer LSTM (torch ``bidirectional`` semantics via
-  :class:`tsasr_tpu.models.rnn.BiLSTM`; the reference default LiGRU is
-  a documented gap — LSTM/GRU are the variants the public recipes use
-  for AED models);
+- the RNN: bidirectional multi-layer LSTM (torch ``bidirectional``
+  semantics via :class:`tsasr_tpu.models.rnn.BiLSTM`) or the reference
+  default LiGRU (:class:`tsasr_tpu.models.rnn.LiGRU`, parity-pinned);
 - M DNN blocks: Linear -> BatchNorm -> act -> dropout.
 
 Combine with the attentional decoder (``models/seq2seq.py``) and the
@@ -28,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from tsasr_tpu.models.rnn import BiLSTM, LSTM
+from tsasr_tpu.models.rnn import BiLSTM, LSTM, LiGRU
 
 Dtype = Any
 
@@ -48,6 +47,7 @@ class CRDNNConfig:
     rnn_layers: int = 4
     rnn_neurons: int = 512
     rnn_bidirectional: bool = True
+    rnn_type: str = "lstm"          # "lstm" | "ligru"
     dnn_blocks: int = 2
     dnn_neurons: int = 512
     projection_dim: int = -1
@@ -117,7 +117,13 @@ class CRDNN(nn.Module):
                              name="projection_norm")(x)
             x = c.activation(x)
         if c.rnn_layers > 0:
-            if c.rnn_bidirectional:
+            if c.rnn_type == "ligru":
+                x, _ = LiGRU(hidden_size=c.rnn_neurons,
+                             in_features=x.shape[-1],
+                             num_layers=c.rnn_layers,
+                             bidirectional=c.rnn_bidirectional,
+                             dtype=c.dtype, name="rnn")(x)
+            elif c.rnn_bidirectional:
                 x = BiLSTM(hidden_size=c.rnn_neurons,
                            in_features=x.shape[-1],
                            num_layers=c.rnn_layers, dropout=c.dropout,
