@@ -1161,3 +1161,63 @@ class TestTacotron2Parity:
             ref_post.numpy().transpose(0, 2, 1), atol=3e-4)
         np.testing.assert_array_equal(np.asarray(mel_lengths),
                                       ref_lens.numpy())
+
+
+class TestXvectorParity:
+    def test_xvector_matches_reference(self, sb, torch, rng,
+                                       monkeypatch):
+        from speechbrain.lobes.models.Xvector import Xvector as RefXvector
+        from speechbrain.nnet import pooling as sb_pooling
+
+        from tsasr_tpu.models.ecapa import Xvector, XvectorConfig
+
+        torch.manual_seed(6)
+        # deterministic pooling (the reference adds gaussian noise to
+        # the pooled mean even in eval)
+        monkeypatch.setattr(
+            sb_pooling.StatisticsPooling, "_get_gauss_noise",
+            lambda self, shape, device="cpu": torch.zeros(
+                shape, device=device))
+        ref = RefXvector(in_channels=12, tdnn_blocks=3,
+                         tdnn_channels=[16, 16, 24],
+                         tdnn_kernel_sizes=[5, 3, 1],
+                         tdnn_dilations=[1, 2, 1],
+                         lin_neurons=10).eval()
+        with torch.no_grad():
+            for mod in ref.modules():
+                if isinstance(mod, torch.nn.BatchNorm1d):
+                    mod.running_mean.normal_(0, 0.2)
+                    mod.running_var.uniform_(0.5, 1.5)
+        x_np = rng.normal(size=(3, 30, 12)).astype(np.float32)
+        lens = np.asarray([1.0, 0.7, 0.5], np.float32)
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(x_np),
+                          lens=torch.from_numpy(lens)).numpy()
+
+        cfg = XvectorConfig(in_channels=12, tdnn_blocks=3,
+                            tdnn_channels=(16, 16, 24),
+                            tdnn_kernel_sizes=(5, 3, 1),
+                            tdnn_dilations=(1, 2, 1), lin_neurons=10)
+        model = Xvector(cfg)
+        params, stats = {}, {}
+        convs = [b for b in ref.blocks
+                 if b.__class__.__name__ == "Conv1d"]
+        norms = [b for b in ref.blocks
+                 if b.__class__.__name__ == "BatchNorm1d"]
+        for i, (cv, bn) in enumerate(zip(convs, norms)):
+            params[f"conv_{i}"] = {
+                "kernel": _torch_np(cv.conv.weight).transpose(2, 1, 0),
+                "bias": _torch_np(cv.conv.bias)}
+            params[f"norm_{i}"] = {"scale": _torch_np(bn.norm.weight),
+                                   "bias": _torch_np(bn.norm.bias)}
+            stats[f"norm_{i}"] = {"mean": _torch_np(bn.norm.running_mean),
+                                  "var": _torch_np(bn.norm.running_var)}
+        lin = [b for b in ref.blocks
+               if b.__class__.__name__ == "Linear"][0]
+        params["out"] = _port_linear(lin)
+        variables = {"params": jax.tree.map(jnp.asarray, params),
+                     "batch_stats": jax.tree.map(jnp.asarray, stats)}
+        ours = np.asarray(model.apply(variables, jnp.asarray(x_np),
+                                      jnp.asarray(lens)))
+        assert ours.shape == ref_out.shape
+        np.testing.assert_allclose(ours, ref_out, atol=3e-4)

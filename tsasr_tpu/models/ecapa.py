@@ -18,8 +18,8 @@ Layout is (B, T, C) channels-last (TPU native); weights port from the
 torch module by transposing convs — pinned by
 ``tests/test_reference_parity.py::TestECAPAParity``.
 
-The x-vector TDNN architecture is already covered by the WavLM-XVector
-head (``models/wavlm.py``); ECAPA supersedes it for speaker tasks.
+Also here: the classic :class:`Xvector` TDNN
+(``lobes/models/Xvector.py``) with statistics pooling, parity-pinned.
 """
 
 from dataclasses import dataclass, field
@@ -239,3 +239,62 @@ class CosineClassifier(nn.Module):
         w_n = weight / jnp.maximum(
             jnp.linalg.norm(weight, axis=-1, keepdims=True), 1e-12)
         return x_n @ w_n.T
+
+
+@dataclass(frozen=True)
+class XvectorConfig:
+    in_channels: int = 40
+    tdnn_blocks: int = 5
+    tdnn_channels: Sequence[int] = (512, 512, 512, 512, 1500)
+    tdnn_kernel_sizes: Sequence[int] = (5, 3, 3, 1, 1)
+    tdnn_dilations: Sequence[int] = (1, 2, 3, 1, 1)
+    lin_neurons: int = 512
+    dtype: Any = jnp.float32
+
+
+class Xvector(nn.Module):
+    """Classic x-vector TDNN (reference ``lobes/models/Xvector.py``:
+    TDNN blocks of [reflect-same dilated conv -> LeakyReLU ->
+    BatchNorm], statistics pooling (masked mean + unbiased std + 1e-5
+    eps; the reference also adds Gaussian noise to the mean — pass
+    ``noise_rng`` to reproduce, omitted for deterministic inference),
+    and a final Linear. (B, T, F) -> (B, 1, lin_neurons)."""
+
+    config: XvectorConfig = field(default_factory=XvectorConfig)
+
+    @nn.compact
+    def __call__(self, x, rel_lengths=None, train=False, noise_rng=None):
+        c = self.config
+        for i in range(c.tdnn_blocks):
+            k, d = c.tdnn_kernel_sizes[i], c.tdnn_dilations[i]
+            pad = d * (k - 1) // 2
+            if pad:
+                x = jnp.pad(x, [(0, 0), (pad, pad), (0, 0)],
+                            mode="reflect")
+            x = nn.Conv(c.tdnn_channels[i], (k,), kernel_dilation=(d,),
+                        padding="VALID", dtype=c.dtype,
+                        name=f"conv_{i}")(x)
+            x = jax.nn.leaky_relu(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=c.dtype,
+                             name=f"norm_{i}")(x)
+        # statistics pooling (nnet/pooling.py StatisticsPooling)
+        T = x.shape[1]
+        if rel_lengths is None:
+            mean = x.mean(axis=1)
+            std = jnp.std(x, axis=1, ddof=1)
+        else:
+            abs_len = jnp.round(rel_lengths * T).astype(jnp.int32)
+            mask = (jnp.arange(T)[None, :] < abs_len[:, None])[..., None]
+            cnt = jnp.maximum(mask.sum(axis=1), 1).astype(x.dtype)
+            mean = (x * mask).sum(axis=1) / cnt
+            var = (jnp.square(x - mean[:, None]) * mask).sum(axis=1) \
+                / jnp.maximum(cnt - 1.0, 1.0)
+            std = jnp.sqrt(var)
+        if noise_rng is not None:
+            mean = mean + jax.random.normal(noise_rng, mean.shape,
+                                            mean.dtype) * 1e-5 \
+                + 0.0  # small gaussian like the reference gnoise
+        std = std + 1e-5
+        stats = jnp.concatenate([mean, std], axis=-1)[:, None, :]
+        return nn.Dense(c.lin_neurons, dtype=c.dtype, name="out")(stats)
