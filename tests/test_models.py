@@ -230,3 +230,64 @@ class TestLSTMAndTransducer:
                                   efeats, rel)
         assert logits.shape == (2, 5, 5, cfg.vocab_size)  # T'=20/4
         assert enc.shape == (2, 5, 48)
+
+
+class TestEcapaSpeakerBranch:
+    def test_forward_and_grad_with_ecapa_encoder(self):
+        """speaker_encoder_type='ecapa' trains end to end (frozen-BN
+        convention keeps the jitted step immutable)."""
+        import jax
+        import jax.numpy as jnp
+
+        from tsasr_tpu.models.transducer import (
+            TSTransducer,
+            TSTransducerConfig,
+        )
+
+        cfg = TSTransducerConfig(
+            vocab_size=11, n_mels=16, d_model=32, nhead=4,
+            encoder_num_layers=1, d_ffn=48, kernel_size=7,
+            frontend_channels=(8, 8), decoder_neurons=16, joint_dim=24,
+            injection_mode="cat", speaker_encoder_type="ecapa",
+            ecapa_channels=(16, 16, 16, 16, 48), ecapa_lin_neurons=24)
+        model = TSTransducer(cfg)
+        feats = jnp.zeros((2, 20, 16))
+        efeats = jnp.zeros((2, 16, 16))
+        rel = jnp.ones((2,))
+        tb = jnp.zeros((2, 5), jnp.int32)
+        variables = model.init(jax.random.PRNGKey(0), feats, rel, tb,
+                               efeats, rel)
+
+        def loss_fn(v):
+            logits, _ = model.apply(
+                v, feats, rel, tb, efeats, rel, deterministic=False,
+                rngs={"dropout": jax.random.PRNGKey(1)})
+            return jnp.square(logits).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(variables)
+        assert jnp.isfinite(loss)
+        spk = grads["params"]["speaker_encoder"]
+        total = sum(float(jnp.abs(g).sum())
+                    for g in jax.tree_util.tree_leaves(spk))
+        assert total > 0  # the ECAPA branch receives gradients
+
+    def test_cross_attention_rejected(self):
+        from tsasr_tpu.models.transducer import (
+            TSTransducer,
+            TSTransducerConfig,
+        )
+        import jax
+        import jax.numpy as jnp
+        import pytest as _pytest
+
+        cfg = TSTransducerConfig(
+            vocab_size=11, n_mels=16, d_model=32, nhead=4,
+            encoder_num_layers=1, d_ffn=48, kernel_size=7,
+            frontend_channels=(8, 8), decoder_neurons=16, joint_dim=24,
+            injection_mode="cross_attention",
+            speaker_encoder_type="ecapa")
+        model = TSTransducer(cfg)
+        with _pytest.raises(ValueError, match="cross_attention"):
+            model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 16)),
+                       jnp.ones((1,)), jnp.zeros((1, 3), jnp.int32),
+                       jnp.zeros((1, 8, 16)), jnp.ones((1,)))

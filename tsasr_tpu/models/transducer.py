@@ -56,7 +56,10 @@ class TSTransducerConfig:
     injection_mode: Optional[str] = "cat"
     injection_after: Union[int, Sequence[int]] = 0
     use_speaker_encoder: bool = True
+    speaker_encoder_type: str = "conformer"   # "conformer" | "ecapa"
     speaker_encoder_layers: int = 6
+    ecapa_channels: Sequence[int] = (512, 512, 512, 512, 1536)
+    ecapa_lin_neurons: int = 192
     speaker_embedding_dim: Optional[int] = None  # external d-vectors (wavlm)
     decoder_neurons: int = 512
     decoder_num_layers: int = 1
@@ -193,16 +196,29 @@ class TSTransducer(nn.Module):
                              name="transducer_head")
 
         if c.use_speaker_encoder and c.injection_mode is not None:
-            self.speaker_frontend = ConvolutionFrontEnd(
-                out_channels=tuple(c.frontend_channels),
-                strides=tuple(c.frontend_strides), dropout=c.dropout,
-                causal=False, dtype=c.dtype)
-            self.speaker_encoder = TSConformerEncoder(
-                d_model=c.d_model, nhead=c.nhead,
-                num_layers=c.speaker_encoder_layers, d_ffn=c.d_ffn,
-                kernel_size=c.kernel_size, dropout=c.dropout,
-                causal=False, injection_mode=None, remat=c.remat,
-                dtype=c.dtype)
+            if c.speaker_encoder_type == "ecapa":
+                # beyond-parity option: ECAPA-TDNN speaker branch
+                # (pooled embedding only; cross_attention needs frames)
+                if c.injection_mode == "cross_attention":
+                    raise ValueError(
+                        "speaker_encoder_type='ecapa' pools over time; "
+                        "use the conformer branch for cross_attention")
+                from tsasr_tpu.models.ecapa import ECAPA_TDNN, ECAPAConfig
+                self.speaker_encoder = ECAPA_TDNN(ECAPAConfig(
+                    input_size=c.n_mels,
+                    channels=tuple(c.ecapa_channels),
+                    lin_neurons=c.ecapa_lin_neurons, dtype=c.dtype))
+            else:
+                self.speaker_frontend = ConvolutionFrontEnd(
+                    out_channels=tuple(c.frontend_channels),
+                    strides=tuple(c.frontend_strides), dropout=c.dropout,
+                    causal=False, dtype=c.dtype)
+                self.speaker_encoder = TSConformerEncoder(
+                    d_model=c.d_model, nhead=c.nhead,
+                    num_layers=c.speaker_encoder_layers, d_ffn=c.d_ffn,
+                    kernel_size=c.kernel_size, dropout=c.dropout,
+                    causal=False, injection_mode=None, remat=c.remat,
+                    dtype=c.dtype)
         if c.injection_mode is not None:
             # speaker_proj maps (own encoder d_model | external dim)
             self.speaker_proj = nn.Dense(c.d_model, dtype=c.dtype,
@@ -214,6 +230,12 @@ class TSTransducer(nn.Module):
         """Enrollment features -> projected speaker embedding (B, 1, D)
         (or (B, S, D) for cross_attention mode, unpooled)."""
         c = self.config
+        if c.speaker_encoder_type == "ecapa":
+            # BN runs on running stats even in training (frozen-BN
+            # convention) so the jitted train step stays immutable
+            x = self.speaker_encoder(enroll_feats, enroll_rel_lens,
+                                     train=False)
+            return self.speaker_proj(x)          # (B, 1, E) pooled
         x = self.speaker_frontend(enroll_feats, deterministic=deterministic)
         x = self.speaker_encoder(x, enroll_rel_lens,
                                  deterministic=deterministic)
