@@ -124,3 +124,30 @@ def test_bucket_lengths_match_hf():
         assert cfg.feat_extract_output_length(L) == ref
         ref_t = int(hf_model._get_tdnn_output_lengths(ref))
         assert cfg.tdnn_output_length(ref) == ref_t
+
+
+def test_jax_speaker_encoder_embed_in_jit(tmp_path):
+    """Recipe glue: JaxSpeakerEncoder loads a local HF checkpoint dir and
+    embeds under jit (pooled and frame-level modes) — the fast cover for
+    the gated end-to-end experiment."""
+    import jax
+
+    from tsasr_tpu.recipes.speaker_embeddings import JaxSpeakerEncoder
+
+    ckpt = tmp_path / "wavlm_tiny"
+    transformers.WavLMForXVector(_small_hf_config()).save_pretrained(
+        str(ckpt))
+
+    enc = JaxSpeakerEncoder(str(ckpt), embedding_dim=12)
+    wav = jnp.zeros((2, 640))
+    rel = jnp.asarray([1.0, 0.5])
+    embs = jax.jit(enc.embed)(wav, rel)
+    assert embs.shape == (2, 1, 12)
+
+    frame_enc = JaxSpeakerEncoder(str(ckpt), frame_level=True,
+                                  embedding_dim=8)
+    frames = jax.jit(frame_enc.embed)(wav, rel)
+    assert frames.ndim == 3 and frames.shape[-1] == 8
+
+    with pytest.raises(FileNotFoundError):
+        JaxSpeakerEncoder(str(tmp_path / "missing"))
