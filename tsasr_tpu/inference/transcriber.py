@@ -19,7 +19,8 @@ class TSASRTranscriber:
 
     def __init__(self, model, params, tokenizer, sample_rate=16000,
                  n_fft=512, n_mels=80, win_length=32.0, blank_index=0,
-                 beam_size=1, variant="scratch"):
+                 beam_size=1, variant="scratch", lm_path=None,
+                 lm_weight=0.0):
         from tsasr_tpu.ops import Fbank
         self.model = model
         self.params = params
@@ -29,6 +30,25 @@ class TSASRTranscriber:
         self.variant = variant
         self.fbank = Fbank(sample_rate=sample_rate, n_fft=n_fft,
                            n_mels=n_mels, win_length=win_length)
+        lm_kwargs = {}
+        if lm_path and lm_weight > 0:
+            # RNN-LM shallow fusion at inference (tools/train_lm.py ckpt)
+            import flax.serialization
+            from tsasr_tpu.models.lm import (RNNLM, RNNLMConfig,
+                                             make_lm_step_fn)
+            with open(lm_path, "rb") as f:
+                payload = flax.serialization.msgpack_restore(f.read())
+            cfg = RNNLMConfig(**{k: type(getattr(RNNLMConfig, k, 0))(v)
+                                 if not isinstance(v, dict) else v
+                                 for k, v in payload.get("config",
+                                                         {}).items()})                 if payload.get("config") else RNNLMConfig()
+            lm = RNNLM(cfg)
+            variables = {"params": payload.get("params", payload)}
+            lm_kwargs = {
+                "lm_step_fn": make_lm_step_fn(lm, variables),
+                "lm_weight": float(lm_weight),
+                "lm_initial_state_fn": lambda n: lm.apply(
+                    variables, n, method=lm.initial_state)}
         if beam_size <= 1:
             from tsasr_tpu.decoding import TransducerGreedySearcher
             self.searcher = TransducerGreedySearcher(model, params,
@@ -37,16 +57,18 @@ class TSASRTranscriber:
             from tsasr_tpu.decoding import BatchedBeamSearcher
             self.searcher = BatchedBeamSearcher(model, params,
                                                 blank_index,
-                                                beam_size=beam_size)
+                                                beam_size=beam_size,
+                                                **lm_kwargs)
         self._encode = jax.jit(self._encode_impl)
 
     # ------------------------------------------------------------ loading
     @classmethod
     def from_experiment(cls, experiment_dir, beam_size=1,
-                        min_key="WER"):
+                        min_key="WER", lm_path=None, lm_weight=None):
         """Load the best checkpoint + tokenizer from an experiment dir
-        produced by the training entry points."""
-        from tsasr_tpu.data.tokenizer import CharTokenizer
+        produced by the training entry points. LM fusion defaults to the
+        experiment's lm_path/lm_weight hparams when not overridden."""
+        from tsasr_tpu.data.tokenizer import CharTokenizer, load_tokenizer
         from tsasr_tpu.training.checkpoints import Checkpointer
         from tsasr_tpu.utils.hparams import load_hyperpyyaml
 
@@ -57,9 +79,12 @@ class TSASRTranscriber:
                 overrides_must_match=False)
         model = hparams["model"]
         save_folder = hparams["save_folder"]
-        tok_path = os.path.join(save_folder,
-                                f"char_{hparams['vocab_size']}.json")
-        tokenizer = CharTokenizer.load(tok_path)
+        token_type = hparams.get("token_type", "char")
+        tok_path = os.path.join(
+            save_folder, f"{token_type}_{hparams['vocab_size']}.json")
+        tokenizer = load_tokenizer(tok_path) if os.path.exists(tok_path) \
+            else CharTokenizer.load(os.path.join(
+                save_folder, f"char_{hparams['vocab_size']}.json"))
 
         # initialize params with dummy shapes, then restore
         from tsasr_tpu.recipes.librispeechmix import TSASRBrain
@@ -74,12 +99,17 @@ class TSASRTranscriber:
         ckpt = Checkpointer(save_folder, {"brain": _ParamsOnly(brain)},
                             allow_partial_load=True)
         ckpt.recover_if_possible(min_key=min_key)
+        if lm_path is None:
+            lm_path = hparams.get("lm_path")
+        if lm_weight is None:
+            lm_weight = float(hparams.get("lm_weight", 0.0) or 0.0)
         return cls(model, brain.params, tokenizer,
                    sample_rate=hparams["sample_rate"],
                    n_fft=hparams["n_fft"], n_mels=hparams["n_mels"],
                    win_length=float(hparams["win_length"]),
                    blank_index=hparams["blank_index"],
-                   beam_size=beam_size, variant=variant)
+                   beam_size=beam_size, variant=variant,
+                   lm_path=lm_path, lm_weight=lm_weight)
 
     # ---------------------------------------------------------- inference
     def _encode_impl(self, params, wav, rel, enroll, enroll_rel):
