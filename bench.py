@@ -99,11 +99,16 @@ def main():
                      optax.adamw(noam_schedule(1e-3, 10000)))
     opt_state = tx.init(params)
 
+    augment = os.environ.get("BENCH_AUGMENT", "1") != "0"
+
     def train_step(params, opt_state, wav, enroll, rel, tokens_bos, key):
         k_aug, k_drop = jax.random.split(key)
 
         def loss_fn(p):
-            feats, r = augmented_features(wav, rel, k_aug)
+            if augment:
+                feats, r = augmented_features(wav, rel, k_aug)
+            else:
+                feats, r = features(wav, rel), rel
             logits, _ = model.apply(p, feats, r, tokens_bos,
                                     features(enroll, rel), rel,
                                     deterministic=False,
@@ -226,7 +231,7 @@ def main():
         "rnnt_loss_step_ms": round(rnnt_loss_step_ms, 2),
         "audio_sec_per_batch": B * mix_sec,
         "precision": precision,
-        "augmented": True,
+        "augmented": augment,
     }
     if mfu_pct is not None:
         result["mfu_pct"] = round(mfu_pct, 2)
