@@ -19,7 +19,6 @@ The C++ runtime mirrors ``read_flac`` (``native/tsasr_native.cpp``
 reference implementation and the fallback.
 """
 
-import struct
 
 import numpy as np
 

@@ -19,7 +19,7 @@ YAML; one module keeps the step closure self-contained).
 """
 
 from dataclasses import dataclass, field
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

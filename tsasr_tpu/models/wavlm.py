@@ -28,7 +28,7 @@ and mask-aware pooling instead of dynamic shapes.
 
 import dataclasses
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
