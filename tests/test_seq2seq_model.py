@@ -127,3 +127,72 @@ class TestCopyTaskOverfit:
             hyp = [int(x) for x in
                    np.asarray(btokens[b, 0, : int(blengths[b, 0])])]
             assert hyp == list(src[b]), b
+
+
+class TestAEDStackOverfit:
+    def test_crdnn_encoder_decoder_overfit(self):
+        """Full AED ASR stack: fbank-like features -> CRDNN -> attentional
+        decoder -> nll; overfits a fixed batch and greedy-decodes the
+        targets (the loss-goes-down oracle for the seq2seq pipeline)."""
+        from tsasr_tpu.models.crdnn import CRDNN, CRDNNConfig
+
+        V, BOS, EOS = 7, 5, 6
+        B, T, F, U = 4, 24, 16, 4
+        rng = np.random.default_rng(0)
+        feats = jnp.asarray(rng.normal(size=(B, T, F)).astype(np.float32))
+        src = rng.integers(0, 5, size=(B, U)).astype(np.int32)
+        tokens_bos = np.concatenate(
+            [np.full((B, 1), BOS, np.int32), src], axis=1)
+        targets = np.concatenate(
+            [src, np.full((B, 1), EOS, np.int32)], axis=1)
+
+        enc_cfg = CRDNNConfig(
+            input_size=F, cnn_blocks=1, cnn_channels=(4,),
+            inter_layer_pooling_size=(2,), rnn_layers=1, rnn_neurons=16,
+            rnn_bidirectional=True, dnn_blocks=1, dnn_neurons=24,
+            dropout=0.0)
+        encoder = CRDNN(enc_cfg)
+        dec_cfg = Seq2SeqDecoderConfig(
+            vocab_size=V, enc_dim=24, embedding_dim=16, hidden_size=32,
+            attn_dim=24, attn_type="location", conv_channels=4,
+            kernel_size=3, rnn_type="gru", dropout=0.0)
+        decoder = Seq2SeqDecoder(dec_cfg)
+
+        enc_vars = encoder.init(jax.random.PRNGKey(0), feats)
+        enc0 = encoder.apply(enc_vars, feats)
+        dec_vars = decoder.init(jax.random.PRNGKey(1),
+                                jnp.asarray(tokens_bos), enc0)
+        tx = optax.adam(3e-3)
+        params = {"enc": enc_vars, "dec": dec_vars}
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def train_step(params, opt_state):
+            def loss_fn(p):
+                enc = encoder.apply(p["enc"], feats)
+                logits, _ = decoder.apply(p["dec"],
+                                          jnp.asarray(tokens_bos), enc)
+                lp = jax.nn.log_softmax(logits, axis=-1)
+                nll = -jnp.take_along_axis(
+                    lp, jnp.asarray(targets)[..., None], axis=-1)
+                return nll.mean()
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        first = None
+        for _ in range(400):
+            params, opt_state, loss = train_step(params, opt_state)
+            if first is None:
+                first = float(loss)
+        assert float(loss) < 0.1 < first
+
+        enc = encoder.apply(params["enc"], feats)
+        step_fn, state0 = make_step_fn(decoder, params["dec"], enc)
+        tokens, lengths, _ = s2s_greedy_search(
+            step_fn, state0, B, BOS, EOS, max_steps=U + 1)
+        for b in range(B):
+            hyp = [int(x) for x in
+                   np.asarray(tokens[b, : int(lengths[b])])]
+            assert hyp == list(src[b]), b
