@@ -188,3 +188,28 @@ class TestHostBeamFusion:
         fused = self._make_searcher(biased_lm, lm_weight=2.0)
         hyps, _, _, _ = fused(ACOUSTIC_2FRAME[None])
         assert hyps[0] == [2]
+
+
+class TestRealLMInBatchedBeam:
+    def test_rnnlm_states_ride_the_beam(self):
+        """The actual RNNLM (LSTM state leaves (L, N, H)) must survive
+        the batched beam's per-hypothesis gathers and emission-masked
+        state advances."""
+        model, variables = _tiny_lm(vocab=3)
+        from tsasr_tpu.models.lm import lm_initial_state
+
+        lm_step = make_lm_step_fn(model, variables)
+        predict, joint = _bounded_model(3, max_emits=2)
+        enc = jnp.asarray(np.broadcast_to(ACOUSTIC_2FRAME[0], (3, 3))
+                          .astype(np.float32))[None]
+        B, K = 1, 2
+        tokens, lengths, scores = beam_search_batched(
+            predict, joint, jnp.zeros((B * K, 1)), enc, blank=0,
+            beam_size=K, max_symbols=6, max_expansions=2,
+            expand_beam=10.0, lm_step_fn=lm_step, lm_weight=0.7,
+            lm_initial_state=lm_initial_state(model, variables, B * K))
+        assert tokens.shape == (1, 2, 6)
+        best = [int(x) for x in
+                np.asarray(tokens[0, 0, : int(lengths[0, 0])])]
+        assert all(t in (1, 2) for t in best)
+        assert np.isfinite(np.asarray(scores)).all()
