@@ -118,6 +118,27 @@ def create_experiment_directory(experiment_directory,
         sys.excepthook = _make_excepthook(log_file)
         logger.info("Beginning experiment!")
         logger.info("Experiment folder: %s", experiment_directory)
+    _enable_compilation_cache()
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: dynamic bucketing compiles one
+    program per batch shape, and on TPU each compile costs minutes over
+    the tunnel — caching makes reruns/resumes start in seconds.
+    Opt out with TSASR_NO_COMPILE_CACHE=1."""
+    if os.environ.get("TSASR_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "tsasr_tpu_jax"))
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception as e:    # pragma: no cover - best effort
+        logger.info("compilation cache unavailable: %s", e)
 
 
 def _make_excepthook(log_file):
