@@ -18,6 +18,14 @@ import math
 
 def noam_schedule(lr_initial, n_warmup_steps, model_size=None):
     """Pure schedule fn (step -> lr) for use inside an optax chain."""
+    if not isinstance(lr_initial, (int, float)):
+        # common footgun: YAML parses `--lr 2e-3` as the STRING "2e-3"
+        # (scientific notation needs a dot: 2.0e-3)
+        raise TypeError(
+            f"lr_initial must be a number, got {lr_initial!r} "
+            f"({type(lr_initial).__name__}). If this came from a CLI "
+            f"override, YAML needs a dot in scientific notation: "
+            f"use 2.0e-3 or 0.002, not 2e-3.")
     normalize = n_warmup_steps ** 0.5 if model_size is None \
         else model_size ** -0.5
 
