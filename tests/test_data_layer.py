@@ -503,3 +503,14 @@ class TestLoader:
                                     num_workers=1)
         ids = [i for b in loader for i in b.id]
         assert ids == [f"u{i}" for i in range(10)]
+
+
+def test_bpe_duplicate_merge_strings_keep_bijection():
+    """Two merge pairs producing the same string ('ab'+'c' and 'a'+'bc')
+    must not create duplicate piece ids."""
+    corpus = (["xabc"] * 8 + ["ab"] * 4 + ["bc"] * 4 + ["abq"] * 3
+              + ["qbc"] * 3) * 3
+    tok = BpeTokenizer.train(corpus, vocab_size=40)
+    assert len(tok.pieces) == len(set(tok.pieces))
+    for text in ["xabc ab bc"]:
+        assert tok.decode_ids(tok.encode_as_ids(text)) == text

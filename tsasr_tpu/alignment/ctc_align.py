@@ -46,6 +46,11 @@ def ctc_forced_align(log_probs, targets, blank_index=0):
     """
     log_probs = jnp.asarray(log_probs)
     T = log_probs.shape[0]
+    if len(targets) == 0:
+        # degenerate case: the only alignment is all blanks
+        path = np.full(T, blank_index, np.int64)
+        score = float(jnp.sum(log_probs[:, blank_index]))
+        return path, score
     states = _expand_targets(targets, blank_index)
     S = len(states)
     # too few frames for the required emissions -> the DP naturally

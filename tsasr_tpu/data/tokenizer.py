@@ -239,8 +239,8 @@ class BpeTokenizer(_PieceTokenizerBase):
             (left, right), best_cnt = best
             if best_cnt < 2 or len(left + right) > max_sentencepiece_length:
                 break
-            merges.append((left, right))
             merged = left + right
+            merges.append((left, right))
             for w, syms in symbolized.items():
                 if merged not in w:
                     continue
@@ -254,8 +254,14 @@ class BpeTokenizer(_PieceTokenizerBase):
                         out.append(syms[i])
                         i += 1
                 symbolized[w] = tuple(out)
-        merged_pieces = [a + b for a, b in merges]
-        pieces = base + merged_pieces
+        # distinct merge pairs can yield the same string (e.g. 'ab'+'c'
+        # and 'a'+'bc'); keep every merge for encoding but add each
+        # piece string once so id<->piece stays a bijection
+        pieces, seen = list(base), set(base)
+        for a, b in merges:
+            if a + b not in seen:
+                seen.add(a + b)
+                pieces.append(a + b)
         pieces = pieces[:unk_id] + ["<unk>"] + pieces[unk_id:]
         return cls(pieces, merges, unk_id=unk_id)
 
@@ -322,8 +328,8 @@ class UnigramTokenizer(_PieceTokenizerBase):
                          if len(s) > 1),
                         key=lambda t: (-t[0], t[1]))
         vocab = {s for _, s in scored[:seed_size - len(chars)]} | chars
-        logp = {s: math.log(sub_counts[s] / sum(sub_counts.values()))
-                for s in vocab}
+        total_mass = sum(sub_counts.values())
+        logp = {s: math.log(sub_counts[s] / total_mass) for s in vocab}
         target = vocab_size - 1  # room for <unk>
         while True:
             for _ in range(n_em_iters):

@@ -122,7 +122,7 @@ class CRDNN(nn.Module):
                              in_features=x.shape[-1],
                              num_layers=c.rnn_layers,
                              bidirectional=c.rnn_bidirectional,
-                             dtype=c.dtype, name="rnn")(x)
+                             dtype=c.dtype, name="rnn")(x, train=train)
             elif c.rnn_bidirectional:
                 x = BiLSTM(hidden_size=c.rnn_neurons,
                            in_features=x.shape[-1],

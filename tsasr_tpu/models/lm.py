@@ -90,3 +90,23 @@ def make_lm_step_fn(model, variables):
 
 def lm_initial_state(model, variables, batch_size):
     return model.apply(variables, batch_size, method=model.initial_state)
+
+
+def load_lm_checkpoint(path):
+    """Load a ``tools/train_lm.py`` msgpack checkpoint -> (RNNLM,
+    variables). The single source of truth for the save format
+    (config dict + params tree); both the recipe and the inference
+    transcriber go through here."""
+    import flax.serialization
+
+    with open(path, "rb") as f:
+        payload = flax.serialization.msgpack_restore(f.read())
+    if payload.get("config"):
+        cfg = RNNLMConfig(**{
+            k: float(v) if isinstance(v, float) else int(v)
+            for k, v in payload["config"].items()})
+    else:
+        cfg = RNNLMConfig()
+    model = RNNLM(cfg)
+    variables = {"params": payload.get("params", payload)}
+    return model, variables

@@ -54,6 +54,7 @@ class LSTM(nn.Module):
             ))
             size = H
         self.weights = weights
+        self.inter_dropout = nn.Dropout(self.dropout)
 
     def __call__(self, x, initial_state=None):
         """Run the full sequence; returns (output (B, U, H), final state
@@ -86,7 +87,7 @@ class LSTM(nn.Module):
             h_fin.append(h_l)
             c_fin.append(c_l)
             if self.dropout > 0 and layer < self.num_layers - 1:
-                out = nn.Dropout(self.dropout, deterministic=True)(out)
+                out = self.inter_dropout(out, deterministic=True)
         return out, (jnp.stack(h_fin), jnp.stack(c_fin))
 
     def step(self, x, state):
@@ -166,6 +167,7 @@ class BiLSTM(nn.Module):
             weights.append(per_dir)
             size = 2 * H
         self.weights = weights
+        self.inter_dropout = nn.Dropout(self.dropout)
 
     def __call__(self, x, deterministic=True, abs_lengths=None):
         """``abs_lengths`` reproduces torch ``pack_padded_sequence``
@@ -197,8 +199,8 @@ class BiLSTM(nn.Module):
             if abs_lengths is not None:
                 out = jnp.where(valid[..., None], out, 0.0)
             if self.dropout > 0 and layer < self.num_layers - 1:
-                out = nn.Dropout(self.dropout,
-                                 deterministic=deterministic)(out)
+                out = self.inter_dropout(out,
+                                         deterministic=deterministic)
         return out
 
 
@@ -368,8 +370,7 @@ class LiGRU(nn.Module):
             us.append(self.param(f"l{layer}_u", uniform, (H, 2 * H)))
             if self.normalization == "batchnorm":
                 norms.append(nn.BatchNorm(
-                    use_running_average=True, momentum=0.95,
-                    epsilon=1e-5, dtype=self.dtype,
+                    momentum=0.95, epsilon=1e-5, dtype=self.dtype,
                     name=f"l{layer}_norm"))
             else:
                 norms.append(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
@@ -386,7 +387,9 @@ class LiGRU(nn.Module):
             return jnp.sin(x)
         return jax.nn.relu(x)
 
-    def __call__(self, x):
+    def __call__(self, x, train=False):
+        """``train=True`` updates BatchNorm batch statistics (apply with
+        ``mutable=['batch_stats']``); default eval uses running stats."""
         H = self.hidden_size
         out = x
         h_last = []
@@ -395,7 +398,11 @@ class LiGRU(nn.Module):
                 stacked = jnp.concatenate([out, out[:, ::-1]], axis=0)
             else:
                 stacked = out
-            w = self.norms[layer](self.ws[layer](stacked))
+            w = self.ws[layer](stacked)
+            if self.normalization == "batchnorm":
+                w = self.norms[layer](w, use_running_average=not train)
+            else:
+                w = self.norms[layer](w)
             u = self.us[layer].astype(self.dtype)
             h0 = jnp.zeros((stacked.shape[0], H), self.dtype)
 

@@ -22,9 +22,17 @@ _LIB_PATH = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "native", "libtsasr_native.so")
 
 
+def _lib_is_stale():
+    src = os.path.join(os.path.dirname(_LIB_PATH), "tsasr_native.cpp")
+    try:
+        return os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+    except OSError:
+        return False
+
+
 def build(force=False):
-    """Compile the native library (no-op if already present)."""
-    if os.path.exists(_LIB_PATH) and not force:
+    """Compile the native library (no-op if present and current)."""
+    if os.path.exists(_LIB_PATH) and not force and not _lib_is_stale():
         return _LIB_PATH
     native_dir = os.path.dirname(_LIB_PATH)
     result = subprocess.run(["make", "-C", native_dir],
@@ -40,16 +48,30 @@ def get_lib(auto_build=True):
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    if not os.path.exists(_LIB_PATH) and auto_build:
+    if (not os.path.exists(_LIB_PATH) or _lib_is_stale()) and auto_build:
         try:
             build()
         except (RuntimeError, OSError) as e:
             logger.info("native library unavailable (%s); using Python "
                         "fallbacks", e)
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None
     if not os.path.exists(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)
+    try:
+        _bind(lib)
+    except AttributeError as e:
+        # stale prebuilt .so missing a newer symbol: never take down the
+        # Python fallbacks over it
+        logger.warning("native library is stale (%s); using Python "
+                       "fallbacks — rebuild with `make -C native`", e)
+        return None
+    _LIB = lib
+    return _LIB
+
+
+def _bind(lib):
     lib.tsasr_wav_read.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int)]
@@ -77,8 +99,6 @@ def get_lib(auto_build=True):
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int8),
         ctypes.POINTER(ctypes.c_int32)]
     lib.tsasr_free.argtypes = [ctypes.c_void_p]
-    _LIB = lib
-    return _LIB
 
 
 def _take_floats(lib, ptr, n):

@@ -212,13 +212,15 @@ class TSASRBrain(Brain):
         logits, enc_out = self.model.apply(
             params, feats, rel, jnp.asarray(batch["tokens_bos"]),
             deterministic=deterministic, **kwargs, **apply_kwargs)
-        return logits, enc_out
+        # rel is returned so the loss masks (and banded centers) use the
+        # SAME lengths the model encoded with — speed perturb rescales
+        # them in training, so batch["mixed_lens"] would disagree
+        return logits, enc_out, rel
 
     def compute_objectives(self, predictions, batch, stage):
-        logits, _ = predictions
+        logits, _, rel = predictions
         tokens = jnp.asarray(batch["tokens"])
-        input_lens = jnp.round(jnp.asarray(batch["mixed_lens"])
-                               * logits.shape[1]).astype(jnp.int32)
+        input_lens = jnp.round(rel * logits.shape[1]).astype(jnp.int32)
         target_lens = jnp.round(jnp.asarray(batch["tokens_lens"])
                                 * tokens.shape[1]).astype(jnp.int32)
         band = getattr(self.hparams, "joint_band_width", None)
@@ -255,20 +257,9 @@ class TSASRBrain(Brain):
         path = getattr(self.hparams, "lm_path", None)
         if weight <= 0 or not path:
             return None
-        import flax.serialization
-        from tsasr_tpu.models.lm import (RNNLM, RNNLMConfig,
+        from tsasr_tpu.models.lm import (load_lm_checkpoint,
                                          make_lm_step_fn)
-        with open(path, "rb") as f:
-            payload = flax.serialization.msgpack_restore(f.read())
-        cfg = getattr(self.hparams, "lm_config", None)
-        if cfg is None and "config" in payload:
-            cfg = RNNLMConfig(**{k: int(v) if not isinstance(v, float)
-                                 else float(v)
-                                 for k, v in payload["config"].items()})
-        if cfg is None:
-            cfg = RNNLMConfig(vocab_size=self.hparams.vocab_size)
-        lm = RNNLM(cfg)
-        variables = {"params": payload.get("params", payload)}
+        lm, variables = load_lm_checkpoint(path)
         step_fn = make_lm_step_fn(lm, variables)
 
         def initial_state_fn(n):
@@ -330,7 +321,7 @@ class TSASRBrain(Brain):
                                 "attention",
                                 f"{safe}_attention_"
                                 f"{str(j + 1).zfill(2)}.{fmt}"))
-        _, enc_out = predictions
+        _, enc_out, _ = predictions
         hyps = None
         if stage == Stage.VALID:
             if self._current_epoch % self.hparams.valid_search_freq == 0:

@@ -293,7 +293,8 @@ class Brain:
         self.global_micro_step += 1
         self._sync_step_counters()
         pending, self._pending_loss = \
-            getattr(self, "_pending_loss", None), (loss, grad_norm)
+            getattr(self, "_pending_loss", None), (loss, grad_norm,
+                                                   finite)
         if pending is None:
             return float("nan")      # first batch: no value yet
         return self._consume_loss(pending)
@@ -310,13 +311,18 @@ class Brain:
                 sched.current_lr = self.current_lr()
 
     def _consume_loss(self, pending):
-        loss, grad_norm = pending
+        loss, grad_norm, finite = pending
         loss_val = float(loss)
-        if not np.isfinite(loss_val):
+        # branch on the DEVICE's skip decision (loss OR grad nonfinite),
+        # not just the loss — a finite-loss/inf-grad batch is skipped on
+        # device and must be un-counted here too
+        if not bool(finite):
             self.nonfinite_count += 1
-            logger.warning("Loss is %s for batch %d (patience %d/%d)",
-                           loss_val, self.step, self.nonfinite_count,
-                           self.nonfinite_patience)
+            logger.warning(
+                "Nonfinite batch %d skipped (loss=%s grad_norm=%s, "
+                "patience %d/%d)", self.step, loss_val,
+                float(grad_norm), self.nonfinite_count,
+                self.nonfinite_patience)
             if self.nonfinite_count > self.nonfinite_patience:
                 raise ValueError(
                     "Loss is not finite and patience is exhausted")
