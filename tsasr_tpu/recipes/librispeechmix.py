@@ -248,6 +248,14 @@ class TSASRBrain(Brain):
         w = jnp.asarray(batch["weight"])
         return jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1.0)
 
+    def on_evaluate_start(self, max_key=None, min_key=None):
+        super().on_evaluate_start(max_key=max_key, min_key=min_key)
+        # standalone --test_only: report the RECOVERED epoch, not the
+        # fit-loop counter (which never ran)
+        counter = getattr(self.hparams, "epoch_counter", None)
+        if counter is not None and counter.current > self._current_epoch:
+            self._current_epoch = counter.current
+
     # ----------------------------------------------------------- decoding
     def _load_fusion_lm(self):
         """Optional RNN-LM shallow fusion (lm_weight > 0 + lm_path set):
