@@ -19,12 +19,17 @@ WORDS = ["the", "quick", "brown", "fox", "jumps", "over", "a", "lazy",
          "dog", "and", "runs", "far", "away", "home", "now"]
 
 
-def synth_utterance(rng, duration, sample_rate):
-    """A crude 'speech-like' signal: sum of drifting tones + noise."""
+def synth_utterance(rng, duration, sample_rate, f0=None):
+    """A crude 'speech-like' signal: sum of drifting tones + noise.
+
+    ``f0`` fixes the fundamental (the speaker's 'voice') so enrollment
+    utterances carry a usable speaker identity for target-speaker
+    conditioning; drawn at random per utterance when None."""
     n = int(duration * sample_rate)
     t = np.arange(n) / sample_rate
     sig = np.zeros(n, np.float32)
-    f0 = rng.uniform(90, 250)
+    if f0 is None:
+        f0 = rng.uniform(90, 250)
     for harmonic in range(1, 4):
         vibr = 1 + 0.02 * np.sin(2 * np.pi * rng.uniform(2, 5) * t)
         sig += (0.2 / harmonic) * np.sin(
@@ -50,10 +55,12 @@ def make_dataset(out_dir, n_speakers=4, utts_per_speaker=6, n_mix=12,
     for spk in range(n_speakers):
         spk_dir = os.path.join(out_dir, f"spk{spk}")
         os.makedirs(spk_dir, exist_ok=True)
+        # a stable per-speaker voice: fixed fundamental, well separated
+        spk_f0 = 100.0 + 40.0 * spk + float(rng.uniform(-5, 5))
         utts = []
         for u in range(utts_per_speaker):
             dur = float(rng.uniform(min_dur, max_dur))
-            wav = synth_utterance(rng, dur, sample_rate)
+            wav = synth_utterance(rng, dur, sample_rate, f0=spk_f0)
             rel = f"spk{spk}/utt{u}.wav"
             write_wav(os.path.join(out_dir, rel), wav, sample_rate)
             n_words = max(2, int(dur * 3))
