@@ -80,17 +80,19 @@ def main():
         return input_normalization(fbank(w), r)
 
     def augmented_features(w, r, key):
-        # the recipe's in-jit train-time pipeline
-        # (recipes/librispeechmix.py:_mixture_features)
+        # the recipe's in-jit train-time pipeline with the recipe's own
+        # YAML-default parameters (recipes/librispeechmix.py:
+        # _mixture_features / specaugment_kwargs / speed_perturb_kwargs)
+        from tsasr_tpu.recipes.librispeechmix import (
+            specaugment_kwargs,
+            speed_perturb_kwargs,
+        )
         k_speed, k_spec = jax.random.split(key)
-        w, factor = speed_perturb(w, k_speed, sample_rate=sr)
+        w, factor = speed_perturb(w, k_speed,
+                                  **speed_perturb_kwargs({}, sr))
         r = jnp.minimum(r * factor, 1.0)
         feats = input_normalization(fbank(w), r)
-        feats = spec_augment(
-            feats, k_spec, time_warp=True, time_warp_window=5,
-            freq_mask=True, freq_mask_width=30, n_freq_mask=2,
-            time_mask=True, time_mask_width=20, n_time_mask=2,
-            replace_with_zero=False)
+        feats = spec_augment(feats, k_spec, **specaugment_kwargs({}))
         return feats, r
 
     params = model.init(jax.random.PRNGKey(0), features(wav, rel), rel,

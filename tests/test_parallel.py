@@ -48,11 +48,16 @@ class TestTensorParallel:
 
         mesh = make_mesh(dp=2, tp=2, devices=jax.devices()[:4])
         shardings = param_shardings(params, mesh)
-        # at least one large kernel must actually be sharded on 'model'
-        specs = jax.tree.leaves(
-            jax.tree.map(lambda s: s.spec, shardings,
-                         is_leaf=lambda x: hasattr(x, "spec")))
-        assert any("model" in str(s) for s in specs)
+        # EXACT sharded-leaf set: every conformer layer contributes all 8
+        # TP kernels (ffn1/2 x Dense_0/1, qkv/out_proj, pointwise in/out)
+        from tsasr_tpu.parallel.mesh import (
+            TP_KERNELS_PER_CONFORMER_LAYER,
+            validate_tp_shardings,
+        )
+        sharded, _ = validate_tp_shardings(
+            shardings, expected_layers=model.config.encoder_num_layers)
+        assert len(sharded) == (model.config.encoder_num_layers
+                                * TP_KERNELS_PER_CONFORMER_LAYER)
         params_sharded = jax.tree.map(jax.device_put, params, shardings)
         batch = shard_batch({"f": np.asarray(feats),
                              "r": np.asarray(rel),
@@ -61,6 +66,27 @@ class TestTensorParallel:
             got = jax.jit(loss_fn)(params_sharded, batch["f"],
                                    batch["r"], batch["tb"])
         np.testing.assert_allclose(float(got), float(ref), rtol=1e-4)
+
+    def test_name_drift_fails_loudly(self, rng):
+        """Renaming a flax submodule must make validation raise instead
+        of silently replicating its kernels (VERDICT r2 weak #6)."""
+        import pytest
+        from tsasr_tpu.parallel.mesh import validate_tp_shardings
+
+        model = tiny_model()
+        feats, rel, tokens_bos = make_inputs(rng)
+        params = model.init(jax.random.PRNGKey(0), feats, rel, tokens_bos)
+        mesh = make_mesh(dp=2, tp=2, devices=jax.devices()[:4])
+
+        # simulate a flax auto-name drift: ffn1 -> some new name
+        drifted = jax.tree.map(lambda x: x, params)
+        for layer in list(drifted["params"]["encoder"]):
+            node = drifted["params"]["encoder"][layer]
+            if isinstance(node, dict) and "ffn1" in node:
+                node["macaron_ffn"] = node.pop("ffn1")
+        shardings = param_shardings(drifted, mesh)
+        with pytest.raises(ValueError, match="drift"):
+            validate_tp_shardings(shardings)
 
     def test_dp_grads_match_single_device(self, rng):
         model = tiny_model()

@@ -418,3 +418,54 @@ class TestBrainStepSemantics:
         brain._flush_pending_loss()
         assert brain.optimizer_step == 1
         assert int(brain.opt_state.gradient_step) == 1
+
+
+class TestAugmentHparams:
+    """The augmentation block is YAML-driven: every SpecAugment /
+    SpeedPerturb parameter flows from hparams (CLI-overridable) into the
+    jitted train step (reference exposes the same keys,
+    ``conformer-t_scratch.yaml:131-145``)."""
+
+    def test_yaml_override_reaches_kwargs(self):
+        from tsasr_tpu.recipes.librispeechmix import (
+            specaugment_kwargs,
+            speed_perturb_kwargs,
+        )
+        root = os.path.join(os.path.dirname(__file__), "..", "hparams",
+                            "LibriSpeechMix")
+        with open(os.path.join(root, "conformer-t_scratch.yaml")) as f:
+            h = load_hyperpyyaml(f, overrides={
+                "data_folder": "/tmp", "time_warp_window": 10,
+                "n_time_mask": 3, "speeds": [90, 100, 110]})
+        kw = specaugment_kwargs(h)
+        assert kw["time_warp_window"] == 10
+        assert kw["n_time_mask"] == 3
+        assert kw["freq_mask_width"] == 30   # untouched default
+        sp = speed_perturb_kwargs(h, h["sample_rate"])
+        assert sp["speeds"] == (90, 100, 110)
+        assert sp["sample_rate"] == 16000
+
+    def test_hparams_change_jitted_step_output(self):
+        """--time_mask_width (etc.) actually changes the train-time
+        feature pipeline output for a fixed PRNG key."""
+        import jax
+        from tsasr_tpu.recipes.librispeechmix import TSASRBrain
+        from tsasr_tpu.utils.stage import Stage
+
+        base = {"sample_rate": 16000, "n_fft": 512, "n_mels": 80,
+                "win_length": 32, "augment": True, "speed_perturb": False,
+                "time_warp": False, "freq_mask": False,
+                "time_mask": True, "n_time_mask": 2,
+                "time_mask_width": 1, "replace_with_zero": True}
+        wav = np.random.default_rng(0).normal(
+            size=(2, 16000)).astype(np.float32) * 0.1
+        batch = {"mixed_sig": wav, "mixed_lens": np.ones(2, np.float32)}
+
+        outs = []
+        for width in (1, 40):
+            h = dict(base, time_mask_width=width)
+            brain = TSASRBrain(modules={}, hparams=h, variant="none")
+            feats, _ = brain._mixture_features(
+                batch, Stage.TRAIN, jax.random.PRNGKey(0))
+            outs.append(np.asarray(feats))
+        assert not np.allclose(outs[0], outs[1])

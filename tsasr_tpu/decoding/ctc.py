@@ -49,7 +49,8 @@ def ctc_greedy_decode(log_probs, rel_lengths=None, blank_index=0):
 
 
 def ctc_prefix_beam_search(log_probs, beam_size=8, blank_index=0,
-                           rel_length=None, nbest=1):
+                           rel_length=None, nbest=1,
+                           lm_step_fn=None, lm_weight=0.0):
     """Prefix beam search over one utterance's (T, V) log-probs.
 
     Tracks per-prefix (p_blank, p_nonblank) mass; at each frame expands
@@ -57,19 +58,54 @@ def ctc_prefix_beam_search(log_probs, beam_size=8, blank_index=0,
     (Hannun et al. 2014). Exact for beam_size >= number of reachable
     prefixes.
 
+    Optional shallow LM fusion: ``lm_step_fn(token, state) ->
+    (log_probs (V,), state)`` (the RNN-LM / n-gram contract,
+    ``models/lm.py`` / ``lm/fusion.py``); each new prefix adds
+    ``lm_weight * logP(token | prefix)`` to its ranking score (the CTC
+    (pb, pnb) masses stay pure so merging is unaffected).
+
     Returns (prefixes, scores): nbest token lists with total
-    log-probabilities.
+    log-probabilities (LM component included when fused).
     """
     log_probs = np.asarray(log_probs)
     T, V = log_probs.shape
     if rel_length is not None:
         T = int(round(float(rel_length) * T))
+    use_lm = lm_step_fn is not None and lm_weight > 0
 
     def logsumexp2(a, b):
         m = max(a, b)
         if m == -np.inf:
             return -np.inf
         return m + np.log(np.exp(a - m) + np.exp(b - m))
+
+    # prefix -> [cumulative lm score, next-token row or None, lm state,
+    #            pending (parent_state, last_token) for the lazy step]
+    lm_info = {(): [0.0, None, None, (None, blank_index)]}
+
+    def lm_row(prefix):
+        """logP(next | prefix) vector, computed lazily per prefix."""
+        info = lm_info[prefix]
+        if info[1] is None:
+            parent_state, last = info[3]
+            row, state = lm_step_fn(last, parent_state)
+            info[1] = np.asarray(row)
+            info[2] = state
+        return info[1]
+
+    def lm_extend(prefix, s):
+        new_prefix = prefix + (s,)
+        if new_prefix not in lm_info:
+            row = lm_row(prefix)
+            lm_info[new_prefix] = [
+                lm_info[prefix][0] + float(row[s]), None, None,
+                (lm_info[prefix][2], s)]
+
+    def rank_score(prefix, masses):
+        score = logsumexp2(*masses)
+        if use_lm:
+            score += lm_weight * lm_info[prefix][0]
+        return score
 
     # prefix -> (log p ending in blank, log p ending in non-blank)
     beams = {(): (0.0, -np.inf)}
@@ -98,19 +134,29 @@ def ctc_prefix_beam_search(log_probs, beam_size=8, blank_index=0,
                     add(prefix + (s,), -np.inf, pb + p_s)
                 else:
                     add(prefix + (s,), -np.inf, total + p_s)
-        ranked = sorted(new.items(),
-                        key=lambda kv: -logsumexp2(*kv[1]))
-        beams = dict(ranked[:beam_size])
+                if use_lm:
+                    lm_extend(prefix, s)
 
-    ranked = sorted(((logsumexp2(pb, pnb), prefix)
-                     for prefix, (pb, pnb) in beams.items()),
+        ranked = sorted(new.items(),
+                        key=lambda kv: -rank_score(*kv))
+        beams = dict(ranked[:beam_size])
+        if use_lm:
+            # keep LM bookkeeping bounded: survivors + their parents
+            keep = set(beams)
+            keep.update(p[:-1] for p in beams if p)
+            lm_info = {p: info for p, info in lm_info.items()
+                       if p in keep}
+
+    ranked = sorted(((rank_score(prefix, masses), prefix)
+                     for prefix, masses in beams.items()),
                     reverse=True)
     top = ranked[:nbest]
     return [list(p) for _, p in top], [s for s, _ in top]
 
 
 def ctc_prefix_beam_search_batch(log_probs, rel_lengths=None,
-                                 beam_size=8, blank_index=0, nbest=1):
+                                 beam_size=8, blank_index=0, nbest=1,
+                                 lm_step_fn=None, lm_weight=0.0):
     """Batch wrapper -> (list of nbest prefix lists, list of scores)."""
     log_probs = np.asarray(log_probs)
     B = log_probs.shape[0]
@@ -120,7 +166,7 @@ def ctc_prefix_beam_search_batch(log_probs, rel_lengths=None,
         prefixes, scores = ctc_prefix_beam_search(
             log_probs[b], beam_size=beam_size, blank_index=blank_index,
             rel_length=None if rels[b] is None else float(rels[b]),
-            nbest=nbest)
+            nbest=nbest, lm_step_fn=lm_step_fn, lm_weight=lm_weight)
         all_prefixes.append(prefixes)
         all_scores.append(scores)
     return all_prefixes, all_scores

@@ -14,10 +14,20 @@ XLA propagates layouts and inserts collectives (no hand-written NCCL
 calls to translate).
 """
 
+import logging
+import re
+
 import numpy as np
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
+
+# Every Conformer encoder layer contributes exactly this many
+# tensor-parallel kernels: ffn1/Dense_{0,1}, ffn2/Dense_{0,1},
+# mha/{qkv_proj,out_proj}, conv/{pointwise_in,pointwise_out}.
+TP_KERNELS_PER_CONFORMER_LAYER = 8
 
 
 def make_mesh(dp=None, tp=1, devices=None):
@@ -75,6 +85,65 @@ def param_shardings(params, mesh):
         return NamedSharding(mesh, _tp_spec(path_str, leaf, tp_size))
 
     return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def tp_sharding_report(shardings):
+    """Flat ``{path: PartitionSpec}`` split into (sharded, replicated)
+    path lists, for logging which leaves actually ride the 'model' axis."""
+    sharded, replicated = [], []
+    for path, s in jax.tree_util.tree_leaves_with_path(
+            shardings, is_leaf=lambda x: hasattr(x, "spec")):
+        p = "/".join(str(getattr(x, "key", x)) for x in path)
+        if "model" in str(s.spec):
+            sharded.append(p)
+        else:
+            replicated.append(p)
+    return sharded, replicated
+
+
+def validate_tp_shardings(shardings, expected_layers=None):
+    """Guard against flax name drift silently replicating TP leaves.
+
+    The sharding rules in ``_tp_spec`` match parameter *names*; if a flax
+    auto-name drifts, leaves fall back to replicated — a silent perf
+    regression. This validator is anchored on the structural
+    ``layer_<i>`` scope pattern instead: every Conformer layer scope must
+    contribute exactly ``TP_KERNELS_PER_CONFORMER_LAYER`` model-sharded
+    kernels. Raises ValueError on any shortfall (or if no layer scopes
+    are found at all while TP > 1).
+
+    Returns ``(sharded, replicated)`` path lists for logging.
+    """
+    sharded, replicated = tp_sharding_report(shardings)
+    layer_re = re.compile(r"(^|/)((?:[\w.]+/)*layer_\d+)(/|$)")
+
+    def layer_scope(path):
+        m = layer_re.search(path)
+        return m.group(2) if m else None
+
+    all_scopes = {layer_scope(p) for p in sharded + replicated}
+    all_scopes.discard(None)
+    if not all_scopes:
+        raise ValueError(
+            "TP mesh requested but no Conformer 'layer_<i>' scopes found "
+            "in the parameter tree — sharding rules cannot apply")
+    if expected_layers is not None and len(all_scopes) != expected_layers:
+        raise ValueError(
+            f"expected {expected_layers} Conformer layer scopes, found "
+            f"{len(all_scopes)}: {sorted(all_scopes)}")
+    per_scope = {s: 0 for s in all_scopes}
+    for p in sharded:
+        s = layer_scope(p)
+        if s is not None:
+            per_scope[s] += 1
+    bad = {s: n for s, n in per_scope.items()
+           if n != TP_KERNELS_PER_CONFORMER_LAYER}
+    if bad:
+        raise ValueError(
+            "TP sharding drift: these Conformer layers do not have "
+            f"exactly {TP_KERNELS_PER_CONFORMER_LAYER} model-sharded "
+            f"kernels (name drift in _tp_spec rules?): {bad}")
+    return sharded, replicated
 
 
 def pad_batch_to(batch_arrays, multiple):

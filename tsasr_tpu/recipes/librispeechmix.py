@@ -58,6 +58,40 @@ from tsasr_tpu.utils.stage import Stage
 logger = logging.getLogger(__name__)
 
 
+def _hparams_get(hparams):
+    """Uniform getter over dict-or-namespace hparams."""
+    if hasattr(hparams, "get"):
+        return hparams.get
+    return lambda k, d=None: getattr(hparams, k, d)
+
+
+def specaugment_kwargs(hparams):
+    """SpecAugment parameters from hparams with the reference recipe's
+    YAML keys and defaults (``conformer-t_scratch.yaml:131-141``) — every
+    key is CLI-overridable (e.g. ``--time_warp_window 10``)."""
+    get = _hparams_get(hparams)
+    return dict(
+        time_warp=bool(get("time_warp", True)),
+        time_warp_window=int(get("time_warp_window", 5)),
+        freq_mask=bool(get("freq_mask", True)),
+        freq_mask_width=get("freq_mask_width", 30),
+        n_freq_mask=int(get("n_freq_mask", 2)),
+        time_mask=bool(get("time_mask", True)),
+        time_mask_width=get("time_mask_width", 20),
+        n_time_mask=int(get("n_time_mask", 2)),
+        replace_with_zero=bool(get("replace_with_zero", False)),
+    )
+
+
+def speed_perturb_kwargs(hparams, sample_rate=16000):
+    """SpeedPerturb parameters (reference ``speeds: [95, 100, 105]``,
+    ``conformer-t_scratch.yaml:143-145``)."""
+    get = _hparams_get(hparams)
+    return dict(speeds=tuple(get("speeds", (95, 100, 105)) or
+                             (95, 100, 105)),
+                sample_rate=int(get("sample_rate", sample_rate)))
+
+
 def resolve_speaker_backend(hparams):
     """Pick the frozen-speaker-encoder backend for the ``pretrained``
     variant: ``jax`` (on-device flax WavLM-XVector port, full parity) or
@@ -162,19 +196,18 @@ class TSASRBrain(Brain):
         rel = jnp.asarray(batch["mixed_lens"])
         augment = bool(getattr(self.hparams, "augment", False))
         if augment and stage == Stage.TRAIN:
-            k_speed, rng = jax.random.split(rng)
-            wav, factor = speed_perturb(wav, k_speed,
-                                        sample_rate=self.hparams.sample_rate)
-            rel = jnp.minimum(rel * factor, 1.0)
+            if bool(getattr(self.hparams, "speed_perturb", True)):
+                k_speed, rng = jax.random.split(rng)
+                wav, factor = speed_perturb(
+                    wav, k_speed, **speed_perturb_kwargs(
+                        self.hparams, self.hparams.sample_rate))
+                rel = jnp.minimum(rel * factor, 1.0)
         feats = self.fbank(wav)
         feats = input_normalization(feats, rel)
         if augment and stage == Stage.TRAIN:
             k_spec, rng = jax.random.split(rng)
-            feats = spec_augment(
-                feats, k_spec, time_warp=True, time_warp_window=5,
-                freq_mask=True, freq_mask_width=30, n_freq_mask=2,
-                time_mask=True, time_mask_width=20, n_time_mask=2,
-                replace_with_zero=False)
+            feats = spec_augment(feats, k_spec,
+                                 **specaugment_kwargs(self.hparams))
         return feats, rel
 
     def _forward_kwargs(self, batch):
@@ -258,13 +291,26 @@ class TSASRBrain(Brain):
 
     # ----------------------------------------------------------- decoding
     def _load_fusion_lm(self):
-        """Optional RNN-LM shallow fusion (lm_weight > 0 + lm_path set):
+        """Optional shallow-fusion LM (lm_weight > 0 + lm_path set):
         -> (lm_step_fn, lm_weight, lm_initial_state_fn) or None.
-        Reference: decoders/transducer.py:311-314,386-409."""
+        ``*.arpa`` paths load a backoff n-gram (densified jit-safe,
+        ``lm/fusion.py``); anything else is a ``tools/train_lm.py``
+        RNN-LM checkpoint. Reference:
+        decoders/transducer.py:311-314,386-409; lm/arpa.py."""
         weight = float(getattr(self.hparams, "lm_weight", 0.0) or 0.0)
         path = getattr(self.hparams, "lm_path", None)
         if weight <= 0 or not path:
             return None
+        if str(path).endswith(".arpa"):
+            from tsasr_tpu.lm import BackoffNgramLM, read_arpa
+            from tsasr_tpu.lm.fusion import make_ngram_lm_step_fn
+            with open(path) as f:
+                _, ngrams_d, backoffs = read_arpa(f)
+            ngram_lm = BackoffNgramLM(ngrams_d, backoffs)
+            id2token = list(self.tokenizer.pieces)
+            step_fn, initial_state_fn = make_ngram_lm_step_fn(
+                ngram_lm, id2token, bos_id=self.hparams.blank_index)
+            return step_fn, weight, initial_state_fn
         from tsasr_tpu.models.lm import (load_lm_checkpoint,
                                          make_lm_step_fn)
         lm, variables = load_lm_checkpoint(path)

@@ -179,8 +179,19 @@ class Brain:
         logger.info("%.1fM trainable parameters initialized",
                     n_params / 1e6)
         if self.mesh is not None:
-            from tsasr_tpu.parallel.mesh import param_shardings
+            from tsasr_tpu.parallel.mesh import (
+                param_shardings,
+                validate_tp_shardings,
+            )
             shardings = param_shardings(self.params, self.mesh)
+            if self.mesh.shape.get("model", 1) > 1:
+                # loud failure on flax name drift instead of silent
+                # replication (see parallel/mesh.py:validate_tp_shardings)
+                sharded, replicated = validate_tp_shardings(shardings)
+                logger.info(
+                    "TP sharding: %d leaves on 'model' axis, %d "
+                    "replicated", len(sharded), len(replicated))
+                logger.debug("TP-sharded leaves: %s", sharded)
             self.params = jax.tree.map(jax.device_put, self.params,
                                        shardings)
 
