@@ -521,19 +521,30 @@ class Brain:
 
 
 class _BrainState:
-    """Checkpoint adapter for the Brain's train state."""
+    """Checkpoint adapter for the Brain's train state.
+
+    ``collective_save``: on a multi-host mesh the params/opt-state
+    leaves are not host-addressable from process 0 alone; ``save`` runs
+    on every process (gather_to_host is a collective) and only process 0
+    writes (``checkpoints.Checkpointer.save_checkpoint`` discipline).
+    """
+
+    collective_save = True
 
     def __init__(self, brain):
         self.brain = brain
 
     def save(self, path):
         from flax import serialization
+        from tsasr_tpu.training.checkpoints import gather_to_host
         payload = {
-            "params": self.brain.params,
-            "opt_state": self.brain.opt_state,
+            "params": gather_to_host(self.brain.params),
+            "opt_state": gather_to_host(self.brain.opt_state),
             "optimizer_step": self.brain.optimizer_step,
             "global_micro_step": self.brain.global_micro_step,
         }
+        if jax.process_index() != 0:
+            return
         state_dict = serialization.to_state_dict(payload)
         with open(path, "wb") as f:
             f.write(serialization.msgpack_serialize(
@@ -551,6 +562,13 @@ class _BrainState:
         if brain.params is not None:
             brain.params = serialization.from_state_dict(
                 brain.params, restored["params"])
+            if brain.mesh is not None:
+                # restored leaves are host arrays; lay them back out on
+                # the mesh so the compiled step sees its input shardings
+                from tsasr_tpu.parallel.mesh import param_shardings
+                shardings = param_shardings(brain.params, brain.mesh)
+                brain.params = jax.tree.map(jax.device_put, brain.params,
+                                            shardings)
             if brain.opt_state is not None:
                 brain.opt_state = serialization.from_state_dict(
                     brain.opt_state, restored["opt_state"])
