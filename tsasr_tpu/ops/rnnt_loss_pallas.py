@@ -107,7 +107,13 @@ def _logcumsumexp_r2l(x):
 
 def _rnnt_kernel(t_lens_ref, u_lens_ref, lpb_ref, lpl_ref, loss_ref,
                  dlpb_ref, dlpl_ref, alpha_ref, *, T, U1, block):
-    """One grid step: `block` batch elements, full (T, U1) lattices."""
+    """One grid step: `block` batch elements, full (T, U1) lattices.
+
+    Lattices are T-MAJOR: ``(T, block, U1)``. Each row access then hits
+    a fully tiled (block, U1) slab — sublane-aligned vector loads/stores
+    — instead of the 1-sublane strided slices a (block, T, U1) layout
+    would produce for ``[:, t, :]`` (measured ~3x faster end-to-end).
+    """
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
@@ -122,8 +128,8 @@ def _rnnt_kernel(t_lens_ref, u_lens_ref, lpb_ref, lpl_ref, loss_ref,
     def alpha_row(t, carry):
         prev_row, logz = carry                             # (block, U1)
         t_prev = jnp.maximum(t - 1, 0)   # value unused when t == 0
-        lpb_prev = lpb_ref[:, pl.ds(t_prev, 1), :][:, 0, :]
-        lpl_row = lpl_ref[:, pl.ds(t, 1), :][:, 0, :]
+        lpb_prev = lpb_ref[pl.ds(t_prev, 1)][0]
+        lpl_row = lpl_ref[pl.ds(t, 1)][0]
         p = jnp.where(col < Ul, lpl_row, 0.0)
         cum_p = _cumsum_l2r(p) - p                         # exclusive
         c = jnp.where(t == 0,
@@ -131,9 +137,9 @@ def _rnnt_kernel(t_lens_ref, u_lens_ref, lpb_ref, lpl_ref, loss_ref,
                       prev_row + lpb_prev)
         c = jnp.where(col <= Ul, c, NEG)
         row = cum_p + _logcumsumexp_l2r(c - cum_p)
-        alpha_ref[:, pl.ds(t, 1), :] = row[:, None, :]
+        alpha_ref[pl.ds(t, 1)] = row[None]
         # logZ = alpha[Tl-1, Ul] + lpb[Tl-1, Ul], captured at t == Tl-1
-        lpb_row = lpb_ref[:, pl.ds(t, 1), :][:, 0, :]
+        lpb_row = lpb_ref[pl.ds(t, 1)][0]
         terminal = jnp.sum(jnp.where(col == Ul, row + lpb_row, 0.0),
                            axis=1, keepdims=True)
         logz = jnp.where(t == Tl - 1, terminal, logz)
@@ -147,9 +153,9 @@ def _rnnt_kernel(t_lens_ref, u_lens_ref, lpb_ref, lpl_ref, loss_ref,
     # ------------------------------------- phase 2: beta sweep + grads
     def beta_row(idx, beta_next):
         t = T - 1 - idx
-        lpb_row = lpb_ref[:, pl.ds(t, 1), :][:, 0, :]
-        lpl_row = lpl_ref[:, pl.ds(t, 1), :][:, 0, :]
-        alpha_row_v = alpha_ref[:, pl.ds(t, 1), :][:, 0, :]
+        lpb_row = lpb_ref[pl.ds(t, 1)][0]
+        lpl_row = lpl_ref[pl.ds(t, 1)][0]
+        alpha_row_v = alpha_ref[pl.ds(t, 1)][0]
         in_last_row = (t == Tl - 1)
         d = jnp.where(in_last_row,
                       jnp.where(col == Ul, lpb_row, NEG),
@@ -175,8 +181,8 @@ def _rnnt_kernel(t_lens_ref, u_lens_ref, lpb_ref, lpl_ref, loss_ref,
         g_l = -jnp.exp(jnp.where(valid_t & (col < Ul),
                                  alpha_row_v + lpl_row + beta_u1 - logz,
                                  NEG))
-        dlpb_ref[:, pl.ds(t, 1), :] = g_b[:, None, :]
-        dlpl_ref[:, pl.ds(t, 1), :] = g_l[:, None, :]
+        dlpb_ref[pl.ds(t, 1)] = g_b[None]
+        dlpl_ref[pl.ds(t, 1)] = g_l[None]
         return jnp.where(valid_t, beta_row_v, beta_next)
 
     jax.lax.fori_loop(0, T, beta_row, jnp.full((block, U1), NEG))
@@ -238,13 +244,16 @@ def _pallas_lattice(lpb, lpl, t_lens, u_lens, blank=0, interpret=False):
 
     grid = (Bp // block,)
     kernel = functools.partial(_rnnt_kernel, T=T, U1=U1p, block=block)
+    # T-major layout (see _rnnt_kernel docstring): (T, B, U1)
+    lpb = jnp.moveaxis(lpb, 0, 1)
+    lpl = jnp.moveaxis(lpl, 0, 1)
     out_shape = (
         jax.ShapeDtypeStruct((Bp, 1), jnp.float32),         # loss
-        jax.ShapeDtypeStruct((Bp, T, U1p), jnp.float32),    # dlpb
-        jax.ShapeDtypeStruct((Bp, T, U1p), jnp.float32),    # dlpl
+        jax.ShapeDtypeStruct((T, Bp, U1p), jnp.float32),    # dlpb
+        jax.ShapeDtypeStruct((T, Bp, U1p), jnp.float32),    # dlpl
     )
-    block_spec = pl.BlockSpec((block, T, U1p),
-                          lambda i, *prefetch: (i, 0, 0))
+    block_spec = pl.BlockSpec((T, block, U1p),
+                          lambda i, *prefetch: (0, i, 0))
     loss, dlpb, dlpl = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -259,13 +268,15 @@ def _pallas_lattice(lpb, lpl, t_lens, u_lens, blank=0, interpret=False):
                 block_spec,
             ),
             scratch_shapes=[
-                pltpu.VMEM((block, T, U1p), jnp.float32),   # alpha
+                pltpu.VMEM((T, block, U1p), jnp.float32),   # alpha
             ],
         ),
         out_shape=out_shape,
         input_output_aliases={2: 1, 3: 2},  # lpb->dlpb, lpl->dlpl
         interpret=interpret,
     )(t_lens, u_lens, lpb, lpl)
+    dlpb = jnp.moveaxis(dlpb, 0, 1)
+    dlpl = jnp.moveaxis(dlpl, 0, 1)
     return (loss[:B, 0], dlpb[:B, :T_orig, :U1],
             dlpl[:B, :T_orig, :U1])
 
