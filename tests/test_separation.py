@@ -1,0 +1,158 @@
+"""Separation slice tests: SI-SNR/PIT loss values, segmentation
+round-trip, SepFormer + ConvTasNet overfit on a tiny 2-source mixture,
+SepformerSeparation interface round-trip.
+
+Reference counterparts: ``lobes/models/dual_path.py``,
+``lobes/models/conv_tasnet.py``, ``pretrained.SepformerSeparation``.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tsasr_tpu.models.separation import (
+    ConvTasNet,
+    SepFormer,
+    overlap_add,
+    segment,
+)
+from tsasr_tpu.ops.losses import si_snr_loss, si_snr_pit_loss
+
+
+def two_sources(rng, B=2, L=800):
+    t = np.arange(L) / 8000.0
+    s1 = np.sin(2 * np.pi * 440 * t)[None].repeat(B, 0)
+    s2 = np.sign(np.sin(2 * np.pi * 97 * t))[None].repeat(B, 0) * 0.5
+    s1 = s1 + rng.normal(size=(B, L)) * 0.01
+    s2 = s2 + rng.normal(size=(B, L)) * 0.01
+    mix = s1 + s2
+    targets = np.stack([s1, s2], axis=-1).astype(np.float32)
+    return mix.astype(np.float32), targets
+
+
+class TestSiSnr:
+    def test_perfect_reconstruction_high_snr(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 100, 2)).astype(np.float32)
+        loss = si_snr_loss(jnp.asarray(x), jnp.asarray(x))
+        assert float(loss.max()) < -60  # -SI-SNR, perfect -> very low
+
+    def test_scale_invariance(self):
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(1, 200, 1)).astype(np.float32)
+        noisy = x + rng.normal(size=x.shape).astype(np.float32) * 0.1
+        a = si_snr_loss(jnp.asarray(noisy), jnp.asarray(x))
+        b = si_snr_loss(jnp.asarray(noisy * 3.7), jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4)
+
+    def test_pit_picks_best_permutation(self):
+        rng = np.random.default_rng(2)
+        s = rng.normal(size=(1, 100, 2)).astype(np.float32)
+        swapped = s[..., ::-1]
+        loss_direct, idx_direct = si_snr_pit_loss(jnp.asarray(s),
+                                                  jnp.asarray(s))
+        loss_sw, idx_sw = si_snr_pit_loss(jnp.asarray(swapped),
+                                          jnp.asarray(s))
+        np.testing.assert_allclose(np.asarray(loss_direct),
+                                   np.asarray(loss_sw), rtol=1e-4)
+        assert int(idx_direct[0]) != int(idx_sw[0])
+
+
+class TestSegmentation:
+    @pytest.mark.parametrize("T,K", [(100, 20), (97, 16), (50, 50)])
+    def test_roundtrip(self, T, K):
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(2, T, 8)), jnp.float32)
+        chunks, rest = segment(x, K)
+        assert chunks.shape[2] == K
+        back = overlap_add(chunks, rest, T)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x),
+                                   atol=1e-5)
+
+
+class TestOverfit:
+    @pytest.mark.parametrize("model_cls,kwargs", [
+        (SepFormer, dict(num_spks=2, enc_channels=32, enc_kernel=16,
+                         bottleneck=32, num_layers=1, K=20, nhead=4,
+                         d_ffn=64)),
+        (ConvTasNet, dict(num_spks=2, enc_channels=32, enc_kernel=16,
+                          bn_channels=16, hidden=32, num_blocks=3,
+                          num_repeats=1)),
+    ])
+    def test_two_source_overfit(self, model_cls, kwargs):
+        """Tiny 2-speaker synthetic separation must overfit: PIT SI-SNR
+        improves by a large margin over the untrained model."""
+        rng = np.random.default_rng(0)
+        mix, targets = two_sources(rng)
+        model = model_cls(**kwargs)
+        params = model.init(jax.random.PRNGKey(0), jnp.asarray(mix))
+        tx = optax.adam(1e-3)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(params, opt_state):
+            def loss_fn(p):
+                est = model.apply(p, jnp.asarray(mix),
+                                  deterministic=True)
+                losses, _ = si_snr_pit_loss(est, jnp.asarray(targets))
+                return jnp.mean(losses)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        params, opt_state, first = step(params, opt_state)
+        for _ in range(150):
+            params, opt_state, loss = step(params, opt_state)
+        assert float(loss) < float(first) - 5.0  # >5 dB SI-SNR gain
+        est = model.apply(params, jnp.asarray(mix), deterministic=True)
+        assert est.shape == targets.shape
+
+
+class TestInterface:
+    def test_round_trip(self, tmp_path):
+        from tsasr_tpu.data.audio import write_wav
+        from tsasr_tpu.inference.separation import SepformerSeparation
+
+        rng = np.random.default_rng(1)
+        mix, _ = two_sources(rng, B=1)
+        model = SepFormer(num_spks=2, enc_channels=16, enc_kernel=16,
+                          bottleneck=16, num_layers=1, K=20, nhead=4,
+                          d_ffn=32)
+        params = model.init(jax.random.PRNGKey(0), jnp.asarray(mix))
+        sep = SepformerSeparation(model, params, sample_rate=8000)
+
+        est = sep.separate_batch(mix[0])
+        assert est.shape == (mix.shape[1], 2)
+        # peak normalization: estimates bounded by the mixture's peak
+        assert float(jnp.max(jnp.abs(est))) <= \
+            float(np.abs(mix).max()) + 1e-4
+
+        wav_path = str(tmp_path / "mix.wav")
+        write_wav(wav_path, mix[0], 8000)
+        out = sep.separate_file(wav_path, savedir=str(tmp_path))
+        assert out.shape[-1] == 2
+        import os
+        assert os.path.exists(tmp_path / "mix_source1.wav")
+        assert os.path.exists(tmp_path / "mix_source2.wav")
+
+    def test_from_checkpoint(self, tmp_path):
+        import flax.serialization
+        from tsasr_tpu.inference.separation import SepformerSeparation
+
+        model = SepFormer(num_spks=2, enc_channels=16, enc_kernel=16,
+                          bottleneck=16, num_layers=1, K=20, nhead=4,
+                          d_ffn=32)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 8000), jnp.float32))
+        path = str(tmp_path / "sep.msgpack")
+        with open(path, "wb") as f:
+            f.write(flax.serialization.to_bytes(params))
+        sep = SepformerSeparation.from_checkpoint(model, path,
+                                                  sample_rate=8000)
+        est = sep.separate_batch(np.zeros((2, 800), np.float32))
+        assert est.shape == (2, 800, 2)

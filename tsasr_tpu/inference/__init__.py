@@ -5,3 +5,5 @@ from tsasr_tpu.inference.transcriber import TSASRTranscriber  # noqa: F401
 from tsasr_tpu.inference.streaming import StreamingTranscriber  # noqa: F401
 from tsasr_tpu.inference.speaker import SpeakerRecognition  # noqa: F401
 from tsasr_tpu.inference.classifier import EncoderClassifier  # noqa: F401
+from tsasr_tpu.inference.separation import SepformerSeparation  # noqa: F401
+from tsasr_tpu.inference.tts import TextToSpeech  # noqa: F401

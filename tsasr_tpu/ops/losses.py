@@ -165,3 +165,31 @@ class PitWrapper:
             tensor, chosen.reshape(chosen.shape[0],
                                    *(1,) * (tensor.ndim - 2),
                                    chosen.shape[-1]), axis=-1)
+
+
+def si_snr_loss(predictions, targets, eps=1e-8):
+    """Negative scale-invariant SNR per (batch, source).
+
+    predictions/targets: (B, L, S). Matches the reference
+    ``cal_si_snr`` convention (``nnet/losses.py`` get_si_snr_with_pitwrapper
+    path): zero-mean, project estimate onto target, -10 log10 ratio.
+    Returns (B, S); pair with :class:`PitWrapper` (sources = last axis)
+    by reducing over sources in the wrapped base loss.
+    """
+    predictions = predictions - jnp.mean(predictions, axis=1,
+                                         keepdims=True)
+    targets = targets - jnp.mean(targets, axis=1, keepdims=True)
+    dot = jnp.sum(predictions * targets, axis=1, keepdims=True)
+    energy = jnp.sum(targets ** 2, axis=1, keepdims=True) + eps
+    s_target = dot / energy * targets
+    e_noise = predictions - s_target
+    ratio = (jnp.sum(s_target ** 2, axis=1)
+             / (jnp.sum(e_noise ** 2, axis=1) + eps))
+    return -10.0 * jnp.log10(ratio + eps)                   # (B, S)
+
+
+def si_snr_pit_loss(predictions, targets):
+    """Permutation-invariant mean negative SI-SNR -> ((B,), best_idx)."""
+    pit = PitWrapper(
+        lambda p, t: jnp.mean(si_snr_loss(p, t), axis=-1))
+    return pit(predictions, targets)
