@@ -103,6 +103,16 @@ def main():
 
     augment = os.environ.get("BENCH_AUGMENT", "1") != "0"
 
+    # rbg keys: hardware RNG for dropout/augment masks (threefry costs
+    # ~2x on the dropout-heavy production step; see training/brain.py)
+    rng_impl = os.environ.get("BENCH_RNG", "rbg")
+
+    def make_key(i):
+        try:
+            return jax.random.key(i, impl=rng_impl)
+        except (TypeError, ValueError):
+            return jax.random.PRNGKey(i)
+
     def train_step(params, opt_state, wav, enroll, rel, tokens_bos, key):
         k_aug, k_drop = jax.random.split(key)
 
@@ -169,7 +179,7 @@ def main():
     # warmup: compile AND pay the tunnel's one-time first-readback setup
     # (~80 s on this deployment) outside the timed section
     params, opt_state, loss = step(params, opt_state, wavs, enrolls,
-                                   rel, tokens_stack, jax.random.PRNGKey(1))
+                                   rel, tokens_stack, make_key(1))
     float(loss)
 
     n_calls = 5
@@ -178,7 +188,7 @@ def main():
         start = time.perf_counter()
         params, opt_state, loss = step(params, opt_state, wavs, enrolls,
                                        rel, tokens_stack,
-                                       jax.random.PRNGKey(2 + i))
+                                       make_key(2 + i))
         float(loss)   # real device->host read: cannot return early
         times.append(time.perf_counter() - start)
     per_call = float(np.median(times))

@@ -98,7 +98,17 @@ class Brain:
         self.model = getattr(self.modules, "model", None)
 
         seed = getattr(self.hparams, "seed", 0)
-        self.rng = jax.random.PRNGKey(seed)
+        # Dropout/augment PRNG: the default threefry generator costs
+        # ~35 ms/step on the production config (measured: 12-layer
+        # encoder fwd+bwd 73.3 ms threefry vs 39.6 ms rbg on v5e, vs
+        # 38 ms without dropout) — the TPU-hardware RBG generator makes
+        # mask generation effectively free. hparams `rng_impl` opts back
+        # into threefry for bit-exact legacy reproducibility.
+        impl = getattr(self.hparams, "rng_impl", "rbg")
+        try:
+            self.rng = jax.random.key(seed, impl=impl)
+        except (TypeError, ValueError):
+            self.rng = jax.random.PRNGKey(seed)
         self.params = None
         self.opt_state = None
         self.optimizer = None
