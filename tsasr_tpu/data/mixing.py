@@ -16,15 +16,44 @@ must match closely for WER parity:
 """
 
 import math
+import os
+from collections import OrderedDict
 
 import numpy as np
 
 from tsasr_tpu.data.audio import read_audio, resample
 
+# Decoded-audio LRU cache: on-the-fly mixing re-reads each utterance
+# many times per epoch (as target, as interferer, as enrollment), and
+# the decode+resample is the host pipeline's top cost (profiled ~60% of
+# per-sample time). Entries are never mutated downstream (mix_signals
+# allocates fresh buffers). Budget in MB via TSASR_AUDIO_CACHE_MB
+# (0 disables).
+_CACHE_BUDGET = int(os.environ.get("TSASR_AUDIO_CACHE_MB", "256")) \
+    * 1024 * 1024
+_cache = OrderedDict()
+_cache_bytes = 0
+
 
 def load_resampled(path, sample_rate):
+    global _cache_bytes
+    if _CACHE_BUDGET <= 0:
+        sig, sr = read_audio(path)
+        return resample(sig, sr, sample_rate)
+    key = (path, sample_rate)
+    hit = _cache.get(key)
+    if hit is not None:
+        _cache.move_to_end(key)
+        return hit
     sig, sr = read_audio(path)
-    return resample(sig, sr, sample_rate)
+    sig = resample(sig, sr, sample_rate)
+    sig.setflags(write=False)
+    _cache[key] = sig
+    _cache_bytes += sig.nbytes
+    while _cache_bytes > _CACHE_BUDGET and _cache:
+        _, old = _cache.popitem(last=False)
+        _cache_bytes -= old.nbytes
+    return sig
 
 
 def mix_signals(wav_paths, delays, target_speaker_idx, sample_rate=16000,
