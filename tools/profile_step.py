@@ -128,7 +128,10 @@ def main():
 
         return jax.jit(multi)
 
-    keys = jax.random.split(jax.random.PRNGKey(1), K)
+    try:
+        keys = jax.random.split(jax.random.key(1, impl="rbg"), K)
+    except (TypeError, ValueError):
+        keys = jax.random.split(jax.random.PRNGKey(1), K)
     results = {}
 
     # ---- full production step (bench.py equivalent)
