@@ -19,6 +19,10 @@ denominator is a documented engineering estimate of the PyTorch recipe's
 per-GPU throughput on its 8xV100 setup (~8 samples/s/GPU for ~4 s
 utterances at batch*accum that fills 50 s/rank). Driver-recorded
 BENCH_r{N}.json values supersede this estimate across rounds.
+Measured anchor (reports/perf_r3.md section 5): same-host equal-config
+CPU head-to-head at the production model size gives reference(torch)
+2.31 vs tsasr(JAX) 1.50 train samples/s on this host's single CPU core;
+the estimate above remains the only cross-hardware denominator.
 """
 
 import json
