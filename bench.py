@@ -49,7 +49,8 @@ def main():
     import optax
 
     from tsasr_tpu.models.transducer import TSTransducer, TSTransducerConfig
-    from tsasr_tpu.ops import Fbank, input_normalization
+    from tsasr_tpu.ops import (Fbank, input_normalization,
+                               pad_audio_to_frame_multiple)
     from tsasr_tpu.ops.augment import spec_augment, speed_perturb
     from tsasr_tpu.ops.rnnt_loss import rnnt_loss
     from tsasr_tpu.training.schedulers import noam_schedule
@@ -80,7 +81,14 @@ def main():
     model = TSTransducer(cfg)
     fbank = Fbank(sample_rate=sr, n_fft=512, n_mels=80, win_length=32.0)
 
+    # MXU frame alignment (recipe yamls' pad_feats_to: 32): pad audio so
+    # post-subsample encoder frames are a multiple of 8 — measured
+    # faster in absolute time (reports/perf_r3.md section 4).
+    pad_feats = int(os.environ.get("BENCH_PAD_FEATS", "32") or 0)
+
     def features(w, r):
+        if pad_feats:
+            w, r = pad_audio_to_frame_multiple(w, r, pad_feats, sr)
         return input_normalization(fbank(w), r)
 
     def augmented_features(w, r, key):
@@ -95,6 +103,8 @@ def main():
         w, factor = speed_perturb(w, k_speed,
                                   **speed_perturb_kwargs({}, sr))
         r = jnp.minimum(r * factor, 1.0)
+        if pad_feats:
+            w, r = pad_audio_to_frame_multiple(w, r, pad_feats, sr)
         feats = input_normalization(fbank(w), r)
         feats = spec_augment(feats, k_spec, **specaugment_kwargs({}))
         return feats, r
@@ -144,7 +154,7 @@ def main():
     # host/tunnel dispatch latency — the real production shape, where
     # the input pipeline runs ahead of the device. Distinct per-step
     # batches keep XLA from hoisting any batch compute out of the loop.
-    steps_per_call = int(os.environ.get("BENCH_STEPS_PER_CALL", "5"))
+    steps_per_call = int(os.environ.get("BENCH_STEPS_PER_CALL", "20"))
     wavs = jnp.asarray(
         rng.normal(size=(steps_per_call, B, mix_sec * sr)) * 0.1,
         jnp.float32)
@@ -205,8 +215,10 @@ def main():
     # ---- RNN-T loss step time (BASELINE.md first-class metric):
     # loss value+grad on the benched logits shape, scanned like the
     # train step so dispatch latency is amortized identically
-    logits_shape = (B, (mix_sec * sr // 160 + 1) // 4, U + 1,
-                    cfg.vocab_size)
+    n_frames = mix_sec * sr // 160 + 1
+    if pad_feats:
+        n_frames = -(-n_frames // pad_feats) * pad_feats
+    logits_shape = (B, -(-n_frames // 4), U + 1, cfg.vocab_size)
     logits_stack = jnp.asarray(
         rng.normal(size=(steps_per_call,) + logits_shape) * 2.0,
         jnp.float32)

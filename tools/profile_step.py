@@ -248,17 +248,34 @@ def main():
                                        tokens_stack, keys)
             loss.block_until_ready()
 
+    # ---- dispatch intercept: the tunnel costs ~30 ms per *call*
+    # (measured: a 137-GFLOP matmul and an empty scan both take ~30 ms
+    # single-shot). Every K=5 scan above therefore carries intercept/5
+    # per step. Measure it with a trivial scan and report device-true
+    # numbers alongside the raw ones.
+    triv_stack = jnp.zeros((K, 8), jnp.float32)
+    intercept_ms = timed(scan5(lambda d: d * 1.0001), (triv_stack,)) * K
+
     flops = production_step_flops(B=B)
+    device = {k: max(v - intercept_ms / K, 0.0)
+              for k, v in results.items()}
     report = {
         "batch": B,
         "precision": args.precision,
+        "dispatch_intercept_ms_per_call": round(intercept_ms, 2),
         "ms_per_step": {k: round(v, 2) for k, v in results.items()},
+        "ms_per_step_device": {k: round(v, 2) for k, v in device.items()},
         "analytic_train_gflops_per_step": round(flops.train / 1e9, 1),
         "analytic_fwd_gflops_per_step": round(flops.fwd / 1e9, 1),
         "mfu_pct_full_step": round(
             flops.train / (results["full_step"] / 1e3)
             / V5E_BF16_PEAK_FLOPS * 100, 2),
+        "mfu_pct_device": round(
+            flops.train / (max(device["full_step"], 1e-9) / 1e3)
+            / V5E_BF16_PEAK_FLOPS * 100, 2),
         "samples_per_sec": round(B / (results["full_step"] / 1e3), 1),
+        "samples_per_sec_device": round(
+            B / (max(device["full_step"], 1e-9) / 1e3), 1),
     }
     print(json.dumps(report, indent=1))
 

@@ -19,6 +19,8 @@ from tsasr_tpu.ops.features import (  # noqa: F401
     mel_filterbank_matrix,
     amplitude_to_db,
     input_normalization,
+    pad_audio_to_frame_multiple,
+    pad_time_frames,
 )
 from tsasr_tpu.ops.rnnt_loss import (  # noqa: F401
     rnnt_loss,

@@ -394,3 +394,58 @@ def input_normalization(x, rel_lengths, mean_norm=True, std_norm=True,
     else:
         std = jnp.ones_like(mean)
     return (x - mean) / std
+
+
+def pad_time_frames(x, rel_lengths, multiple):
+    """Pad the frame axis of ``x`` (B, T, F) up to a multiple, rescaling
+    relative lengths so downstream ``round(rel * T)`` masking still
+    covers exactly the valid frames.
+
+    TPU-first addition with no reference counterpart: XLA tiles the MXU
+    in (8, 128) sublane/lane blocks, and a measured probe (see
+    reports/perf_r3.md section 4) shows the production encoder is
+    *faster in absolute time* when the post-subsample frame count is a
+    multiple of 8 — e.g. 4 s of audio gives 401 fbank frames -> 101
+    encoder frames; padding 401 -> 416 gives 104 encoder frames and a
+    faster layer stack. Semantically this is identical to the padding
+    any bucketed batch already carries (rel_lengths < 1): pad frames are
+    zero and masked by every length-aware op.
+
+    Returns ``(x_padded, rel_rescaled)``; a no-op when already aligned.
+    """
+    T = x.shape[1]
+    T_new = -(-T // multiple) * multiple
+    if T_new == T:
+        return x, rel_lengths
+    x = jnp.pad(x, ((0, 0), (0, T_new - T), (0, 0)))
+    return x, rel_lengths * (T / T_new)
+
+
+def pad_audio_to_frame_multiple(wav, rel_lengths, multiple,
+                                sample_rate=16000, hop_length=10.0):
+    """Zero-pad waveforms (B, L) so the center-STFT frame count is a
+    multiple of ``multiple``, rescaling relative lengths.
+
+    TPU-first addition with no reference counterpart: XLA tiles the MXU
+    in (8, 128) sublane/lane blocks and a measured probe (see
+    reports/perf_r3.md section 4) shows the production conformer stack is
+    *faster in absolute time* when the post-subsample frame count is a
+    multiple of 8 — e.g. 4 s of audio gives 401 fbank frames -> 101
+    encoder frames; padding the audio so fbank yields 416 frames gives
+    104 encoder frames and a faster layer stack.
+
+    Padding in the *audio* domain (not the feature domain) keeps the
+    semantics bit-identical to what every bucket-quantized batch already
+    does (``data/batch.py pad_to_multiple``): pad frames carry the
+    log-of-silence fbank value after normalization, exactly as in the
+    reference's padded batches. All shapes are static under jit.
+    """
+    hop = _ms_to_samples(sample_rate, hop_length)
+    L = wav.shape[-1]
+    T = 1 + L // hop
+    T_new = -(-T // multiple) * multiple
+    L_new = (T_new - 1) * hop
+    if L_new <= L:
+        return wav, rel_lengths
+    wav = jnp.pad(wav, ((0, 0), (0, L_new - L)))
+    return wav, rel_lengths * (L / L_new)

@@ -44,7 +44,8 @@ from tsasr_tpu.data.dataset import add_dynamic_item, set_output_keys
 from tsasr_tpu.data.mixing import make_audio_pipeline, make_text_pipeline
 from tsasr_tpu.decoding import TransducerBeamSearcher, \
     TransducerGreedySearcher
-from tsasr_tpu.ops import Fbank, input_normalization, transducer_loss
+from tsasr_tpu.ops import (Fbank, input_normalization,
+                           pad_audio_to_frame_multiple, transducer_loss)
 from tsasr_tpu.ops.augment import spec_augment, speed_perturb
 from tsasr_tpu.ops.rnnt_loss import rnnt_loss
 from tsasr_tpu.parallel.distributed import (
@@ -202,6 +203,15 @@ class TSASRBrain(Brain):
                     wav, k_speed, **speed_perturb_kwargs(
                         self.hparams, self.hparams.sample_rate))
                 rel = jnp.minimum(rel * factor, 1.0)
+        pad_to = getattr(self.hparams, "pad_feats_to", None)
+        if pad_to:
+            # MXU tiling: pad the waveform so the fbank frame count (and
+            # hence the post-subsample encoder frame count) is aligned;
+            # semantically identical to bucket padding — see
+            # ops/features.py::pad_audio_to_frame_multiple
+            wav, rel = pad_audio_to_frame_multiple(
+                wav, rel, int(pad_to), self.hparams.sample_rate,
+                float(self.fbank.config.hop_length))
         feats = self.fbank(wav)
         feats = input_normalization(feats, rel)
         if augment and stage == Stage.TRAIN:
@@ -212,9 +222,14 @@ class TSASRBrain(Brain):
 
     def _forward_kwargs(self, batch):
         if self.variant == "scratch":
-            efeats = self.fbank(jnp.asarray(batch["enroll_sig"]))
+            esig = jnp.asarray(batch["enroll_sig"])
             erel = jnp.asarray(batch["enroll_lens"])
-            efeats = input_normalization(efeats, erel)
+            pad_to = getattr(self.hparams, "pad_feats_to", None)
+            if pad_to:
+                esig, erel = pad_audio_to_frame_multiple(
+                    esig, erel, int(pad_to), self.hparams.sample_rate,
+                    float(self.fbank.config.hop_length))
+            efeats = input_normalization(self.fbank(esig), erel)
             return {"enroll_feats": efeats, "enroll_rel_lens": erel}
         if self.variant == "pretrained":
             erel = jnp.asarray(batch["enroll_lens"])
