@@ -127,6 +127,13 @@ def main():
         except (TypeError, ValueError):
             return jax.random.PRNGKey(i)
 
+    # Fused joint+head+loss (the production default, recipe yamls'
+    # fused_joint_loss: true): the (B, T, U+1, joint_dim) joint never
+    # materializes in HBM (ops/rnnt_loss_fused.py). BENCH_FUSED=0
+    # benches the unfused composition for comparison.
+    fused = os.environ.get("BENCH_FUSED", "1") != "0"
+    fused_chunk = int(os.environ.get("BENCH_FUSED_CHUNK", "8"))
+
     def train_step(params, opt_state, wav, enroll, rel, tokens_bos, key):
         k_aug, k_drop = jax.random.split(key)
 
@@ -135,13 +142,26 @@ def main():
                 feats, r = augmented_features(wav, rel, k_aug)
             else:
                 feats, r = features(wav, rel), rel
+            tokens = tokens_bos[:, 1:]
+            u_lens = jnp.full((B,), U, jnp.int32)
+            if fused:
+                from tsasr_tpu.ops.rnnt_loss_fused import rnnt_loss_fused
+                enc, dec = model.apply(p, feats, r, tokens_bos,
+                                       features(enroll, rel), rel,
+                                       deterministic=False,
+                                       rngs={"dropout": k_drop},
+                                       method=model.encode_predict)
+                head = p["params"]["transducer_head"]
+                t_lens = jnp.round(r * enc.shape[1]).astype(jnp.int32)
+                return rnnt_loss_fused(enc, dec, head["kernel"],
+                                       head["bias"], tokens, t_lens,
+                                       u_lens, chunk=fused_chunk,
+                                       reduction="mean")
             logits, _ = model.apply(p, feats, r, tokens_bos,
                                     features(enroll, rel), rel,
                                     deterministic=False,
                                     rngs={"dropout": k_drop})
-            tokens = tokens_bos[:, 1:]
             t_lens = jnp.round(r * logits.shape[1]).astype(jnp.int32)
-            u_lens = jnp.full((B,), U, jnp.int32)
             return rnnt_loss(logits, tokens, t_lens, u_lens,
                              reduction="mean")
 

@@ -361,20 +361,15 @@ class TSTransducer(nn.Module):
         return self.joint_logits(enc_out[:, :, None, :], dec_band)
 
     # ----------------------------------------------------------- training
-    def __call__(self, feats, rel_lens, tokens_bos, enroll_feats=None,
-                 enroll_rel_lens=None, external_speaker_embs=None,
-                 deterministic=True, band_width=None,
-                 token_rel_lens=None):
-        """Training/eval forward pass -> (logits, enc_out).
+    def encode_predict(self, feats, rel_lens, tokens_bos,
+                       enroll_feats=None, enroll_rel_lens=None,
+                       external_speaker_embs=None, deterministic=True):
+        """Forward pass up to (excluding) joint+head: returns
+        (enc_out (B, T', J), dec_out (B, U+1, J)).
 
-        ``enroll_feats`` drives the scratch speaker encoder;
-        ``external_speaker_embs`` ((B, 1, E) or (B, S, E)) bypasses it
-        (the ``pretrained`` variant's frozen WavLM d-vectors).
-
-        With ``band_width`` set (and ``token_rel_lens`` given), the
-        joint/head run only on a diagonal band: logits come back as
-        (B, T', band_width, V) and the loss side recomputes the same
-        ``band_centers`` (deterministic in the lengths).
+        The fused-loss train path (``ops.rnnt_loss_fused``) consumes
+        these plus the ``transducer_head`` parameters directly, so the
+        (B, T', U+1, J) joint activations never materialize in HBM.
         """
         c = self.config
         speaker_embs = None
@@ -393,6 +388,28 @@ class TSTransducer(nn.Module):
         enc_out = self.encode(feats, rel_lens, speaker_embs, speaker_rel,
                               deterministic=deterministic)
         dec_out, _ = self.predict(tokens_bos)
+        return enc_out, dec_out
+
+    def __call__(self, feats, rel_lens, tokens_bos, enroll_feats=None,
+                 enroll_rel_lens=None, external_speaker_embs=None,
+                 deterministic=True, band_width=None,
+                 token_rel_lens=None):
+        """Training/eval forward pass -> (logits, enc_out).
+
+        ``enroll_feats`` drives the scratch speaker encoder;
+        ``external_speaker_embs`` ((B, 1, E) or (B, S, E)) bypasses it
+        (the ``pretrained`` variant's frozen WavLM d-vectors).
+
+        With ``band_width`` set (and ``token_rel_lens`` given), the
+        joint/head run only on a diagonal band: logits come back as
+        (B, T', band_width, V) and the loss side recomputes the same
+        ``band_centers`` (deterministic in the lengths).
+        """
+        enc_out, dec_out = self.encode_predict(
+            feats, rel_lens, tokens_bos, enroll_feats=enroll_feats,
+            enroll_rel_lens=enroll_rel_lens,
+            external_speaker_embs=external_speaker_embs,
+            deterministic=deterministic)
         if band_width is not None:
             from tsasr_tpu.ops.rnnt_loss_banded import band_centers
             Tp = enc_out.shape[1]

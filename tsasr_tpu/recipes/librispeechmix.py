@@ -246,6 +246,18 @@ class TSASRBrain(Brain):
                     "enroll_rel_lens": erel}
         return {}
 
+    def _fused_loss_active(self):
+        """Fused joint+head+loss (ops.rnnt_loss_fused): the (B,T,U+1,J)
+        joint never materializes. Applicable to the recipe-default sum
+        joint when the banded approximation is off; ``fused_joint_loss:
+        false`` in the yaml opts out."""
+        if getattr(self.hparams, "joint_band_width", None):
+            return False
+        cfg = getattr(self.model, "config", None)
+        if cfg is None or cfg.joint_mode != "sum":
+            return False
+        return bool(getattr(self.hparams, "fused_joint_loss", True))
+
     def compute_forward(self, params, batch, stage, rng):
         feats, rel = self._mixture_features(batch, stage, rng)
         kwargs = self._forward_kwargs(batch)
@@ -254,10 +266,19 @@ class TSASRBrain(Brain):
         if not deterministic:
             apply_kwargs["rngs"] = {"dropout": rng}
         band = getattr(self.hparams, "joint_band_width", None)
+        model = self.model
+        if self._fused_loss_active():
+            enc_out, dec_out = model.apply(
+                params, feats, rel, jnp.asarray(batch["tokens_bos"]),
+                deterministic=deterministic,
+                method=model.encode_predict, **kwargs, **apply_kwargs)
+            head = params["params"]["transducer_head"]
+            fused = (enc_out, dec_out, head["kernel"], head["bias"])
+            return fused, enc_out, rel
         if band:
             kwargs["band_width"] = int(band)
             kwargs["token_rel_lens"] = jnp.asarray(batch["tokens_lens"])
-        logits, enc_out = self.model.apply(
+        logits, enc_out = model.apply(
             params, feats, rel, jnp.asarray(batch["tokens_bos"]),
             deterministic=deterministic, **kwargs, **apply_kwargs)
         # rel is returned so the loss masks (and banded centers) use the
@@ -268,9 +289,22 @@ class TSASRBrain(Brain):
     def compute_objectives(self, predictions, batch, stage):
         logits, _, rel = predictions
         tokens = jnp.asarray(batch["tokens"])
-        input_lens = jnp.round(rel * logits.shape[1]).astype(jnp.int32)
         target_lens = jnp.round(jnp.asarray(batch["tokens_lens"])
                                 * tokens.shape[1]).astype(jnp.int32)
+        if isinstance(logits, tuple):          # fused joint+head+loss
+            from tsasr_tpu.ops.rnnt_loss_fused import rnnt_loss_fused
+            enc_out, dec_out, head_w, head_b = logits
+            input_lens = jnp.round(
+                rel * enc_out.shape[1]).astype(jnp.int32)
+            losses = rnnt_loss_fused(
+                enc_out, dec_out, head_w, head_b, tokens, input_lens,
+                target_lens, blank=self.hparams.blank_index,
+                reduction="none",
+                chunk=int(getattr(self.hparams, "fused_loss_chunk", 8)),
+                use_pallas="auto", mesh=self.mesh)
+            w = jnp.asarray(batch["weight"])
+            return jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1.0)
+        input_lens = jnp.round(rel * logits.shape[1]).astype(jnp.int32)
         band = getattr(self.hparams, "joint_band_width", None)
         if band:
             # banded joint: logits are (B, T', W, V); recompute the same
