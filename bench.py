@@ -75,8 +75,12 @@ def main():
                              jnp.int32)
     tokens_bos = tokens_bos.at[:, 0].set(0)
 
+    # BENCH_REMAT: "" (off), "full", or "dots" (save matmul outputs,
+    # recompute elementwise chains — dropout masks stay out of HBM)
+    remat = os.environ.get("BENCH_REMAT", "")
     cfg = TSTransducerConfig(
         injection_mode="cat",
+        remat=bool(remat), remat_policy=remat or "full",
         dtype=jnp.bfloat16 if precision == "bf16" else jnp.float32)
     model = TSTransducer(cfg)
     fbank = Fbank(sample_rate=sr, n_fft=512, n_mels=80, win_length=32.0)

@@ -160,6 +160,31 @@ class TestConformer:
         np.testing.assert_allclose(np.asarray(o1[:, :6]),
                                    np.asarray(o2[:, :6]), atol=1e-4)
 
+    @pytest.mark.parametrize("policy", ["full", "dots"])
+    def test_remat_matches_norematerialization(self, rng, policy):
+        """remat (either policy) must not change outputs or grads."""
+        def build(remat):
+            return TSConformerEncoder(
+                d_model=32, nhead=4, num_layers=2, d_ffn=64,
+                kernel_size=7, dropout=0.0, remat=remat,
+                remat_policy=policy)
+
+        src = jnp.asarray(rng.normal(size=(2, 8, 16)), jnp.float32)
+        rel = jnp.asarray([1.0, 0.75])
+        params = build(False).init(jax.random.PRNGKey(0), src,
+                                   rel_lengths=rel)
+
+        def loss(p, remat):
+            out = build(remat).apply(p, src, rel_lengths=rel)
+            return jnp.sum(out ** 2)
+
+        v0, g0 = jax.value_and_grad(loss)(params, False)
+        v1, g1 = jax.value_and_grad(loss)(params, True)
+        np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
     @pytest.mark.parametrize("mode", ["prod", "sum", "cat",
                                       "cross_attention", None])
     def test_injection_modes(self, rng, mode):

@@ -49,6 +49,9 @@ def main():
                     help="capture a jax.profiler trace of the full step")
     ap.add_argument("--batch", type=int, default=96)
     ap.add_argument("--precision", default="bf16")
+    ap.add_argument("--pad_feats", type=int, default=32,
+                    help="frame-multiple audio padding (bench default)")
+    ap.add_argument("--fused_chunk", type=int, default=8)
     args = ap.parse_args()
 
     import jax
@@ -61,9 +64,11 @@ def main():
 
     from tools.flops_model import production_step_flops
     from tsasr_tpu.models.transducer import TSTransducer, TSTransducerConfig
-    from tsasr_tpu.ops import Fbank, input_normalization
+    from tsasr_tpu.ops import (Fbank, input_normalization,
+                               pad_audio_to_frame_multiple)
     from tsasr_tpu.ops.augment import spec_augment, speed_perturb
     from tsasr_tpu.ops.rnnt_loss import rnnt_loss
+    from tsasr_tpu.ops.rnnt_loss_fused import rnnt_loss_fused
     from tsasr_tpu.recipes.librispeechmix import (
         specaugment_kwargs,
         speed_perturb_kwargs,
@@ -91,6 +96,8 @@ def main():
     fbank = Fbank(sample_rate=sr, n_fft=512, n_mels=80, win_length=32.0)
 
     def features(w, r):
+        if args.pad_feats:
+            w, r = pad_audio_to_frame_multiple(w, r, args.pad_feats, sr)
         return input_normalization(fbank(w), r)
 
     def augmented_features(w, r, key):
@@ -98,6 +105,8 @@ def main():
         w, factor = speed_perturb(w, k_speed,
                                   **speed_perturb_kwargs({}, sr))
         r = jnp.minimum(r * factor, 1.0)
+        if args.pad_feats:
+            w, r = pad_audio_to_frame_multiple(w, r, args.pad_feats, sr)
         feats = input_normalization(fbank(w), r)
         feats = spec_augment(feats, k_spec, **specaugment_kwargs({}))
         return feats, r
@@ -167,6 +176,81 @@ def main():
         jax.jit(full_multi),
         (params, opt_state, wavs, enrolls, tokens_stack, keys))
 
+    # ---- full production step, FUSED joint+head+loss (bench default:
+    # the (B,T,U+1,J) joint never materializes in HBM)
+    def train_step_fused(p, o, w, e, tb, key):
+        k_aug, k_drop = jax.random.split(key)
+
+        def loss_fn(p):
+            feats, r = augmented_features(w, rel, k_aug)
+            enc, dec = model.apply(p, feats, r, tb,
+                                   features(e, rel), rel,
+                                   deterministic=False,
+                                   rngs={"dropout": k_drop},
+                                   method=model.encode_predict)
+            head = p["params"]["transducer_head"]
+            t_lens = jnp.round(r * enc.shape[1]).astype(jnp.int32)
+            u_lens = jnp.full((B,), U, jnp.int32)
+            return rnnt_loss_fused(enc, dec, head["kernel"], head["bias"],
+                                   tb[:, 1:], t_lens, u_lens,
+                                   chunk=args.fused_chunk,
+                                   reduction="mean")
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, o2 = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o2, loss
+
+    def full_multi_fused(p, o, wavs, enrolls, tokens, keys):
+        def body(carry, xs):
+            p, o = carry
+            w, e, tb, k = xs
+            p, o, loss = train_step_fused(p, o, w, e, tb, k)
+            return (p, o), loss
+        (p, o), losses = jax.lax.scan(body, (p, o),
+                                      (wavs, enrolls, tokens, keys))
+        return losses[-1]
+
+    results["full_step_fused"] = timed(
+        jax.jit(full_multi_fused),
+        (params, opt_state, wavs, enrolls, tokens_stack, keys))
+
+    # ---- fused full step with dropout OFF (deterministic): isolates
+    # what dropout mask generation + residual traffic cost the step
+    def train_step_nodrop(p, o, w, e, tb, key):
+        k_aug, _ = jax.random.split(key)
+
+        def loss_fn(p):
+            feats, r = augmented_features(w, rel, k_aug)
+            enc, dec = model.apply(p, feats, r, tb,
+                                   features(e, rel), rel,
+                                   deterministic=True,
+                                   method=model.encode_predict)
+            head = p["params"]["transducer_head"]
+            t_lens = jnp.round(r * enc.shape[1]).astype(jnp.int32)
+            u_lens = jnp.full((B,), U, jnp.int32)
+            return rnnt_loss_fused(enc, dec, head["kernel"], head["bias"],
+                                   tb[:, 1:], t_lens, u_lens,
+                                   chunk=args.fused_chunk,
+                                   reduction="mean")
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, o2 = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o2, loss
+
+    def full_multi_nodrop(p, o, wavs, enrolls, tokens, keys):
+        def body(carry, xs):
+            p, o = carry
+            w, e, tb, k = xs
+            p, o, loss = train_step_nodrop(p, o, w, e, tb, k)
+            return (p, o), loss
+        (p, o), losses = jax.lax.scan(body, (p, o),
+                                      (wavs, enrolls, tokens, keys))
+        return losses[-1]
+
+    results["full_step_fused_nodrop"] = timed(
+        jax.jit(full_multi_nodrop),
+        (params, opt_state, wavs, enrolls, tokens_stack, keys))
+
     # ---- fwd+loss (no grad/optimizer)
     def fwd_loss(w, e, tb, key):
         k_aug, k_drop = jax.random.split(key)
@@ -213,6 +297,48 @@ def main():
             params, e[:, :, None, :], d[:, None, :, :],
             method=model.joint_logits)),
         (enc_stack, dec_stack))
+
+    # ---- backward decomposition: value+grad of each trained branch in
+    # isolation (locates the ~60 ms bwd block of the full step)
+    def enc_grad(f):
+        def s(p):
+            return jnp.sum(model.apply(
+                p, f, rel, spk, rel, method=model.encode).astype(
+                    jnp.float32))
+        # consume EVERY grad leaf: returning one leaf lets XLA DCE the
+        # rest of the backward (a bias grad of sum() is a constant)
+        return sum(jnp.sum(l.astype(jnp.float32))
+                   for l in jax.tree.leaves(jax.grad(s)(params)))
+
+    results["encoder_12l_grad"] = timed(scan5(enc_grad), (feats_stack,))
+
+    def spk_grad(ef):
+        def s(p):
+            return jnp.sum(model.apply(
+                p, ef, rel, method=model.extract_speaker).astype(
+                    jnp.float32))
+        return sum(jnp.sum(l.astype(jnp.float32))
+                   for l in jax.tree.leaves(jax.grad(s)(params)))
+
+    results["speaker_branch_grad"] = timed(scan5(spk_grad),
+                                           (efeats_stack,))
+
+    def fused_loss_grad(e, d):
+        head = params["params"]["transducer_head"]
+        t_l = jnp.round(rel * e.shape[1]).astype(jnp.int32)
+        u_l = jnp.full((B,), U, jnp.int32)
+
+        def s(ed):
+            return rnnt_loss_fused(ed[0], ed[1], head["kernel"],
+                                   head["bias"], tokens_stack[0, :, 1:],
+                                   t_l, u_l, chunk=args.fused_chunk,
+                                   reduction="mean")
+        _, g = jax.value_and_grad(s)((e, d))
+        return g[0].astype(jnp.float32).sum() + g[1].astype(
+            jnp.float32).sum()
+
+    results["fused_loss_grad"] = timed(scan5(fused_loss_grad),
+                                       (enc_stack, dec_stack))
 
     # ---- loss value+grad: pallas vs xla
     logits0, _ = model.apply(params, feats0, rel, tokens_stack[0],
@@ -277,6 +403,12 @@ def main():
         "samples_per_sec_device": round(
             B / (max(device["full_step"], 1e-9) / 1e3), 1),
     }
+    if "full_step_fused" in results:
+        report["mfu_pct_device_fused"] = round(
+            flops.train / (max(device["full_step_fused"], 1e-9) / 1e3)
+            / V5E_BF16_PEAK_FLOPS * 100, 2)
+        report["samples_per_sec_device_fused"] = round(
+            B / (max(device["full_step_fused"], 1e-9) / 1e3), 1)
     print(json.dumps(report, indent=1))
 
 

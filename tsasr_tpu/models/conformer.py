@@ -206,6 +206,11 @@ class TSConformerEncoder(nn.Module):
     injection_mode: Union[str, None] = None
     injection_after: Sequence[int] = (0,)
     remat: bool = False    # rematerialize layers (memory for long T)
+    # remat granularity: "full" recomputes everything in bwd (max memory
+    # saving); "dots" saves matmul outputs and recomputes only the
+    # elementwise chains — incl. dropout masks, which are otherwise the
+    # single largest residual HBM stream of the train step
+    remat_policy: str = "full"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -255,8 +260,11 @@ class TSConformerEncoder(nn.Module):
         if self.remat and not streaming:
             # trade recompute for activation memory (jax.checkpoint):
             # long-utterance training (T up to 1500 frames) fits HBM
+            kwargs = {}
+            if self.remat_policy == "dots":
+                kwargs["policy"] = jax.checkpoint_policies.dots_saveable
             layer_cls = nn.remat(ConformerEncoderLayer,
-                                 static_argnums=(5,))
+                                 static_argnums=(5,), **kwargs)
 
         attns = []
         new_states = []

@@ -66,6 +66,7 @@ class TSTransducerConfig:
     joint_dim: int = 640
     joint_mode: str = "sum"
     remat: bool = False
+    remat_policy: str = "full"   # "full" | "dots" (see TSConformerEncoder)
     dtype: Any = jnp.float32
 
 
@@ -183,7 +184,7 @@ class TSTransducer(nn.Module):
             injection_after=(tuple(c.injection_after)
                              if isinstance(c.injection_after, (list, tuple))
                              else (c.injection_after,)),
-            remat=c.remat, dtype=c.dtype)
+            remat=c.remat, remat_policy=c.remat_policy, dtype=c.dtype)
         self.encoder_proj = nn.Dense(c.joint_dim, dtype=c.dtype,
                                      name="encoder_proj")
         self.predictor = Predictor(
@@ -218,7 +219,7 @@ class TSTransducer(nn.Module):
                     num_layers=c.speaker_encoder_layers, d_ffn=c.d_ffn,
                     kernel_size=c.kernel_size, dropout=c.dropout,
                     causal=False, injection_mode=None, remat=c.remat,
-                    dtype=c.dtype)
+                    remat_policy=c.remat_policy, dtype=c.dtype)
         if c.injection_mode is not None:
             # speaker_proj maps (own encoder d_model | external dim)
             self.speaker_proj = nn.Dense(c.d_model, dtype=c.dtype,
