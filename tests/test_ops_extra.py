@@ -154,3 +154,48 @@ class TestDataioHelpers:
         chars = split_word(words)
         assert chars == [list("hello") + ["_"] + list("world")]
         assert merge_char(chars) == words
+
+
+class TestRecomputeDropout:
+    """ops/dropout.py: backward regenerates the mask from the key."""
+
+    def test_grad_matches_autodiff_of_plain_masking(self):
+        import numpy as np
+        from tsasr_tpu.ops.dropout import dropout
+
+        key = jax.random.PRNGKey(7)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(16, 32)),
+                        jnp.float32)
+        rate = 0.3
+
+        def plain(x):
+            keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+            return jnp.sum(jnp.where(keep, x / (1.0 - rate), 0.0) ** 2)
+
+        def custom(x):
+            return jnp.sum(dropout(x, key, rate) ** 2)
+
+        v0, g0 = jax.value_and_grad(plain)(x)
+        v1, g1 = jax.value_and_grad(custom)(x)
+        np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                                   atol=1e-6)
+
+    def test_module_matches_flax_semantics(self):
+        import numpy as np
+        from flax import linen as nn
+        from tsasr_tpu.ops.dropout import Dropout
+
+        x = jnp.ones((4, 1000), jnp.float32)
+        out = Dropout(0.25).apply(
+            {}, x, deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(3)})
+        vals = np.unique(np.asarray(out))
+        # only 0 and 1/(1-rate) survive; drop fraction near rate
+        np.testing.assert_allclose(
+            sorted(vals), [0.0, 1.0 / 0.75], rtol=1e-6)
+        assert abs(float((out == 0).mean()) - 0.25) < 0.03
+        # deterministic passthrough
+        np.testing.assert_array_equal(
+            np.asarray(Dropout(0.25).apply({}, x, deterministic=True)),
+            np.asarray(x))
