@@ -78,9 +78,12 @@ def main():
     # BENCH_REMAT: "" (off), "full", or "dots" (save matmul outputs,
     # recompute elementwise chains — dropout masks stay out of HBM)
     remat = os.environ.get("BENCH_REMAT", "")
+    # BENCH_FUSED_ATTN=1: fused Pallas rel-pos attention kernel
+    fused_attn = os.environ.get("BENCH_FUSED_ATTN", "0") != "0"
     cfg = TSTransducerConfig(
         injection_mode="cat",
         remat=bool(remat), remat_policy=remat or "full",
+        fused_attention=fused_attn,
         dtype=jnp.bfloat16 if precision == "bf16" else jnp.float32)
     model = TSTransducer(cfg)
     fbank = Fbank(sample_rate=sr, n_fft=512, n_mels=80, win_length=32.0)

@@ -160,6 +160,28 @@ class TestConformer:
         np.testing.assert_allclose(np.asarray(o1[:, :6]),
                                    np.asarray(o2[:, :6]), atol=1e-4)
 
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_direct_pos_lookup_equals_rel_shift(self, rng, causal):
+        """The distance-lookup positional scores must equal the
+        Transformer-XL rel-shift trick (kept as the oracle)."""
+        from tsasr_tpu.models.attention import _rel_shift
+
+        B, H, T, Dh = 2, 3, 9, 4
+        q_v = jnp.asarray(rng.normal(size=(B, T, H, Dh)), jnp.float32)
+        p = jnp.asarray(rng.normal(size=(2 * T - 1, H, Dh)), jnp.float32)
+
+        full = jnp.einsum("bthd,shd->bhts", q_v, p)      # (B,H,T,2T-1)
+        shifted = _rel_shift(full, klen=T, causal=causal)
+
+        idx = (jnp.arange(T)[None, :] - jnp.arange(T)[:, None]
+               + (T - 1))
+        direct = jnp.einsum("bthd,tshd->bhts", q_v, p[idx])
+        # note: no causal zeroing — the oracle's tri only affects
+        # columns beyond the final slice, so shifted == direct for
+        # both causal settings
+        np.testing.assert_allclose(np.asarray(shifted),
+                                   np.asarray(direct), atol=1e-5)
+
     @pytest.mark.parametrize("policy", ["full", "dots"])
     def test_remat_matches_norematerialization(self, rng, policy):
         """remat (either policy) must not change outputs or grads."""

@@ -17,6 +17,7 @@ stays finite (mirrors the reference's fp16 fill of -65000,
 """
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -77,6 +78,11 @@ class RelPosMHAXL(nn.Module):
     dropout: float = 0.0
     mask_pos_future: bool = False
     att_context_size: int = 0    # >0: attend only this many past keys
+    # fused=True routes the non-streaming path through the Pallas
+    # kernel (ops/attention_pallas.py): scores + rel-shift + masking +
+    # softmax + dropout + @V in one VMEM-resident kernel per (batch,
+    # head); attention probs are then not returned (None). TPU only.
+    fused: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -117,6 +123,22 @@ class RelPosMHAXL(nn.Module):
         p_k = pos_proj(pos_emb)
         p_k = p_k.reshape(1, -1, H, Dh)                  # (1, 2T-1, H, Dh)
 
+        # TSASR_ATTN_INTERPRET=1 runs the kernel in interpret mode so
+        # the fused MODEL path is testable on CPU
+        interp = os.environ.get("TSASR_ATTN_INTERPRET", "0") != "0"
+        if self.fused and (interp or jax.default_backend() != "cpu"):
+            from tsasr_tpu.ops.attention_pallas import (
+                fused_attention_applicable,
+                fused_relpos_attention,
+            )
+            if fused_attention_applicable(T, Dh):
+                out = self._fused_attention(
+                    q_u, q_v, k, v, p_k, key_padding_mask, attn_mask,
+                    deterministic, interp)
+                out = nn.Dense(D, kernel_init=xavier, dtype=self.dtype,
+                               name="out_proj")(out)
+                return out, None
+
         # content scores (B, H, T, T)
         ac = jnp.einsum("bthd,bshd->bhts", q_u, k)
         # positional scores (B, H, T, 2T-1) -> shifted (B, H, T, T)
@@ -149,6 +171,44 @@ class RelPosMHAXL(nn.Module):
         out = nn.Dense(D, kernel_init=xavier, dtype=self.dtype,
                        name="out_proj")(out)
         return out, attn
+
+    def _fused_attention(self, q_u, q_v, k, v, p_k, key_padding_mask,
+                         attn_mask, deterministic, interpret=False):
+        """Route through the fused Pallas kernel; returns (B, T, D)."""
+        from tsasr_tpu.ops.attention_pallas import fused_relpos_attention
+
+        B, T, H, Dh = q_u.shape
+        to_bhtd = lambda x: jnp.swapaxes(x, 1, 2)        # noqa: E731
+        p = jnp.swapaxes(p_k[0], 0, 1)                   # (H, 2T-1, Dh)
+
+        if key_padding_mask is not None:
+            kp_add = jnp.where(key_padding_mask, ATTN_FILL,
+                               0.0).astype(jnp.float32)
+        else:
+            kp_add = jnp.zeros((B, T), jnp.float32)
+        am = jnp.zeros((T, T), jnp.float32)
+        if attn_mask is not None:
+            am = jnp.where(attn_mask, ATTN_FILL, am)
+        if self.att_context_size > 0:
+            too_far = ((jnp.arange(T)[:, None] - jnp.arange(T)[None, :])
+                       >= self.att_context_size)
+            am = jnp.where(too_far, ATTN_FILL, am)
+
+        rate = 0.0 if deterministic else float(self.dropout)
+        if rate > 0.0:
+            # in-kernel PRNG seed (reseeded identically in the backward
+            # so the mask is regenerated, never stored); float-typed so
+            # custom_vjp cotangents stay trivial
+            seed = jax.random.randint(self.make_rng("dropout"), (),
+                                      0, 1 << 23).astype(jnp.float32)
+        else:
+            seed = jnp.zeros((), jnp.float32)
+
+        out = fused_relpos_attention(
+            to_bhtd(q_u), to_bhtd(q_v), to_bhtd(k), to_bhtd(v), p,
+            kp_add, am, seed, 1.0 / math.sqrt(self.embed_dim), rate,
+            interpret)
+        return jnp.swapaxes(out, 1, 2).reshape(B, T, H * Dh)
 
     def _streaming_attention(self, q_u, q_v, k_new, v_new, kv_cache,
                              pos_proj, deterministic):

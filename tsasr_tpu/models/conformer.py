@@ -123,6 +123,7 @@ class ConformerEncoderLayer(nn.Module):
     dropout: float = 0.0
     causal: bool = False
     att_context_size: int = 0
+    fused_attention: bool = False   # Pallas kernel (TPU, no attn probs)
     activation: Callable = nn.swish
     dtype: Dtype = jnp.float32
 
@@ -148,6 +149,7 @@ class ConformerEncoderLayer(nn.Module):
             embed_dim=self.d_model, num_heads=self.nhead,
             dropout=self.dropout, mask_pos_future=self.causal,
             att_context_size=self.att_context_size,
+            fused=self.fused_attention and not streaming,
             dtype=self.dtype, name="mha")
         if streaming:
             (attn_out, attn_w), new_attn_state = mha(
@@ -211,6 +213,9 @@ class TSConformerEncoder(nn.Module):
     # elementwise chains — incl. dropout masks, which are otherwise the
     # single largest residual HBM stream of the train step
     remat_policy: str = "full"
+    # fused Pallas attention (TPU; auto-disabled when attention probs
+    # are requested, which the kernel does not materialize)
+    fused_attention: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -274,6 +279,8 @@ class TSConformerEncoder(nn.Module):
                 kernel_size=self.kernel_size, dropout=self.dropout,
                 causal=self.causal,
                 att_context_size=self.att_context_size,
+                fused_attention=(self.fused_attention
+                                 and not return_attn),
                 activation=self.activation,
                 dtype=self.dtype, name=f"layer_{i}")
             if streaming:

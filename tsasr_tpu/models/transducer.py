@@ -67,6 +67,7 @@ class TSTransducerConfig:
     joint_mode: str = "sum"
     remat: bool = False
     remat_policy: str = "full"   # "full" | "dots" (see TSConformerEncoder)
+    fused_attention: bool = False  # Pallas attention kernel (TPU)
     dtype: Any = jnp.float32
 
 
@@ -184,7 +185,8 @@ class TSTransducer(nn.Module):
             injection_after=(tuple(c.injection_after)
                              if isinstance(c.injection_after, (list, tuple))
                              else (c.injection_after,)),
-            remat=c.remat, remat_policy=c.remat_policy, dtype=c.dtype)
+            remat=c.remat, remat_policy=c.remat_policy,
+            fused_attention=c.fused_attention, dtype=c.dtype)
         self.encoder_proj = nn.Dense(c.joint_dim, dtype=c.dtype,
                                      name="encoder_proj")
         self.predictor = Predictor(
@@ -219,7 +221,8 @@ class TSTransducer(nn.Module):
                     num_layers=c.speaker_encoder_layers, d_ffn=c.d_ffn,
                     kernel_size=c.kernel_size, dropout=c.dropout,
                     causal=False, injection_mode=None, remat=c.remat,
-                    remat_policy=c.remat_policy, dtype=c.dtype)
+                    remat_policy=c.remat_policy,
+                    fused_attention=c.fused_attention, dtype=c.dtype)
         if c.injection_mode is not None:
             # speaker_proj maps (own encoder d_model | external dim)
             self.speaker_proj = nn.Dense(c.d_model, dtype=c.dtype,
