@@ -80,10 +80,13 @@ def main():
     remat = os.environ.get("BENCH_REMAT", "")
     # BENCH_FUSED_ATTN=1: fused Pallas rel-pos attention kernel
     fused_attn = os.environ.get("BENCH_FUSED_ATTN", "0") != "0"
+    # BENCH_DROPOUT_BITS: random-bit width per dropout mask element
+    # (32 = exact bernoulli; 8 draws 4x fewer bits — see ops/dropout.py)
+    dropout_bits = int(os.environ.get("BENCH_DROPOUT_BITS", "8"))
     cfg = TSTransducerConfig(
         injection_mode="cat",
         remat=bool(remat), remat_policy=remat or "full",
-        fused_attention=fused_attn,
+        fused_attention=fused_attn, dropout_bits=dropout_bits,
         dtype=jnp.bfloat16 if precision == "bf16" else jnp.float32)
     model = TSTransducer(cfg)
     fbank = Fbank(sample_rate=sr, n_fft=512, n_mels=80, win_length=32.0)

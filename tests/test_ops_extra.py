@@ -187,7 +187,7 @@ class TestRecomputeDropout:
         from tsasr_tpu.ops.dropout import Dropout
 
         x = jnp.ones((4, 1000), jnp.float32)
-        out = Dropout(0.25).apply(
+        out = Dropout(0.25, key_only=True).apply(
             {}, x, deterministic=False,
             rngs={"dropout": jax.random.PRNGKey(3)})
         vals = np.unique(np.asarray(out))
@@ -199,3 +199,95 @@ class TestRecomputeDropout:
         np.testing.assert_array_equal(
             np.asarray(Dropout(0.25).apply({}, x, deterministic=True)),
             np.asarray(x))
+
+    def test_default_module_bit_identical_to_nn_dropout(self):
+        import numpy as np
+        from flax import linen as nn
+        from tsasr_tpu.ops.dropout import Dropout
+
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 64)),
+                        jnp.float32)
+        k = jax.random.PRNGKey(3)
+        ours = Dropout(0.3).apply({}, x, deterministic=False,
+                                  rngs={"dropout": k})
+        flax = nn.Dropout(0.3, deterministic=False).apply(
+            {}, x, rngs={"dropout": k})
+        np.testing.assert_array_equal(np.asarray(ours), np.asarray(flax))
+
+
+class TestBitsDropout:
+    """ops/dropout.py ``bits``: narrower random draws per mask element."""
+
+    def test_u8_semantics_and_keep_fraction(self):
+        import numpy as np
+        from tsasr_tpu.ops.dropout import Dropout
+
+        x = jnp.ones((4, 4000), jnp.float32)
+        for bits in (8, 16):
+            out = Dropout(0.25, bits=bits).apply(
+                {}, x, deterministic=False,
+                rngs={"dropout": jax.random.PRNGKey(3)})
+            vals = np.unique(np.asarray(out))
+            np.testing.assert_allclose(
+                sorted(vals), [0.0, 1.0 / 0.75], rtol=1e-6)
+            assert abs(float((out == 0).mean()) - 0.25) < 0.03, bits
+
+    def test_keep_prob_threshold_clamped(self):
+        # rate so small that round(keep * 256) == 256 must not wrap to 0
+        import numpy as np
+        from tsasr_tpu.ops.dropout import keep_mask
+
+        m = keep_mask(jax.random.PRNGKey(0), 1.0 - 1e-4, (2000,), bits=8)
+        assert float(jnp.mean(m)) > 0.98   # 255/256 keep, not all-drop
+
+    def test_custom_vjp_grads_match_plain_autodiff_u8(self):
+        import numpy as np
+        from tsasr_tpu.ops.dropout import dropout, keep_mask
+
+        key = jax.random.PRNGKey(7)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(16, 32)),
+                        jnp.float32)
+
+        def plain(x):
+            keep = keep_mask(key, 0.7, x.shape, bits=8)
+            return jnp.sum(jnp.where(keep, x / 0.7, 0.0) ** 2)
+
+        def custom(x):
+            return jnp.sum(dropout(x, key, 0.3, bits=8) ** 2)
+
+        v0, g0 = jax.value_and_grad(plain)(x)
+        v1, g1 = jax.value_and_grad(custom)(x)
+        np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                                   atol=1e-6)
+
+    def test_config_flows_through_model(self):
+        # dropout_bits=8 must change the traced train-mode graph (bits
+        # generator) while keeping the same param tree as bits=32
+        import numpy as np
+        from tsasr_tpu.models.transducer import (TSTransducer,
+                                                 TSTransducerConfig)
+
+        rng = np.random.default_rng(0)
+        feats = jnp.asarray(rng.normal(size=(1, 20, 80)), jnp.float32)
+        ef = jnp.asarray(rng.normal(size=(1, 24, 80)), jnp.float32)
+        rel = jnp.ones((1,))
+        tb = jnp.zeros((1, 3), jnp.int32)
+        outs, trees = [], []
+        for bits in (32, 8):
+            cfg = TSTransducerConfig(
+                vocab_size=8, encoder_num_layers=1, d_model=32, nhead=4,
+                d_ffn=64, joint_dim=48, decoder_neurons=24, dropout=0.2,
+                speaker_encoder_layers=1, injection_mode="cat",
+                dropout_bits=bits)
+            m = TSTransducer(cfg)
+            p = m.init(jax.random.PRNGKey(0), feats, rel, tb, ef, rel)
+            lg, _ = m.apply(p, feats, rel, tb, ef, rel,
+                            deterministic=False,
+                            rngs={"dropout": jax.random.PRNGKey(1)})
+            assert np.isfinite(np.asarray(lg)).all()
+            outs.append(np.asarray(lg))
+            trees.append(jax.tree_util.tree_structure(p))
+        assert trees[0] == trees[1]
+        # different mask draws -> different train-mode outputs
+        assert not np.array_equal(outs[0], outs[1])

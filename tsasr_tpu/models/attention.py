@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from tsasr_tpu.ops.dropout import Dropout
+
 ATTN_FILL = -1e9
 
 
@@ -76,6 +78,7 @@ class RelPosMHAXL(nn.Module):
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
+    dropout_bits: int = 32       # random-bit width per mask element
     mask_pos_future: bool = False
     att_context_size: int = 0    # >0: attend only this many past keys
     # fused=True routes the non-streaming path through the Pallas
@@ -165,7 +168,8 @@ class RelPosMHAXL(nn.Module):
 
         attn = nn.softmax(scores.astype(jnp.float32), axis=-1)
         attn = attn.astype(self.dtype)
-        attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
+        attn = Dropout(self.dropout, bits=self.dropout_bits,
+                       deterministic=deterministic)(attn)
 
         out = jnp.einsum("bhts,bshd->bthd", attn, v).reshape(B, T, D)
         out = nn.Dense(D, kernel_init=xavier, dtype=self.dtype,
@@ -283,6 +287,7 @@ class CrossAttention(nn.Module):
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
+    dropout_bits: int = 32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -307,7 +312,8 @@ class CrossAttention(nn.Module):
                                ATTN_FILL, scores)
         attn = nn.softmax(scores.astype(jnp.float32), axis=-1)
         attn = attn.astype(self.dtype)
-        attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
+        attn = Dropout(self.dropout, bits=self.dropout_bits,
+                       deterministic=deterministic)(attn)
         out = jnp.einsum("bhts,bshd->bthd", attn, v).reshape(B, Tq, D)
         return nn.Dense(D, kernel_init=xavier, dtype=self.dtype,
                         name="out_proj")(out)

@@ -28,6 +28,7 @@ from tsasr_tpu.models.attention import (
     RelPosMHAXL,
     rel_pos_encoding,
 )
+from tsasr_tpu.ops.dropout import Dropout
 from tsasr_tpu.ops.masks import length_to_mask, lookahead_mask
 
 Dtype = Any
@@ -44,6 +45,7 @@ class FeedForward(nn.Module):
     d_ffn: int
     d_model: int
     dropout: float = 0.0
+    dropout_bits: int = 32
     activation: Callable = nn.swish
     dtype: Dtype = jnp.float32
 
@@ -52,7 +54,8 @@ class FeedForward(nn.Module):
         x = nn.Dense(self.d_ffn, kernel_init=xavier_normal(),
                      dtype=self.dtype)(x)
         x = self.activation(x)
-        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        x = Dropout(self.dropout, bits=self.dropout_bits,
+                    deterministic=deterministic)(x)
         x = nn.Dense(self.d_model, kernel_init=xavier_normal(),
                      dtype=self.dtype)(x)
         return x
@@ -65,17 +68,26 @@ class ConvolutionModule(nn.Module):
     kernel_size: int = 31
     causal: bool = False
     dropout: float = 0.0
+    dropout_bits: int = 32
     activation: Callable = nn.swish
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, pad_mask=None, deterministic=True,
-                 conv_cache=None):
+                 conv_cache=None, mask_conv_input=False):
         """x: (B, T, D); pad_mask: (B, T) bool, True = padding.
 
         Streaming: ``conv_cache`` is the last kernel_size-1 input frames
         (zero-initialized, which equals the offline causal left-pad);
         returns (out, new_cache) when given.
+
+        ``mask_conv_input`` additionally zeroes masked rows in GLU space
+        BEFORE the depthwise conv (the reference zeroes only the output,
+        ``Conformer.py:113-114``). For a causal conv this cannot change
+        any valid row (windows never look right), and it makes masked
+        left-neighbor rows exactly equal to the offline zero left-pad —
+        required by the sequence-parallel halo exchange
+        (``parallel/seq_parallel.py``).
         """
         streaming = conv_cache is not None
         if streaming:
@@ -89,6 +101,8 @@ class ConvolutionModule(nn.Module):
                        dtype=self.dtype, name="pointwise_in")(out)
         a, b = jnp.split(out, 2, axis=-1)
         out = a * nn.sigmoid(b)                         # GLU
+        if mask_conv_input and pad_mask is not None:
+            out = jnp.where(pad_mask[..., None], 0.0, out)
         if streaming:
             padding = [(0, 0)]       # the cache IS the left context
         elif self.causal:
@@ -104,7 +118,8 @@ class ConvolutionModule(nn.Module):
         out = self.activation(out)
         out = nn.Dense(self.d_model, kernel_init=xavier_normal(),
                        dtype=self.dtype, name="pointwise_out")(out)
-        out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
+        out = Dropout(self.dropout, bits=self.dropout_bits,
+                      deterministic=deterministic)(out)
         if pad_mask is not None:
             out = jnp.where(pad_mask[..., None], 0.0, out)
         if streaming:
@@ -121,6 +136,7 @@ class ConformerEncoderLayer(nn.Module):
     nhead: int
     kernel_size: int = 31
     dropout: float = 0.0
+    dropout_bits: int = 32
     causal: bool = False
     att_context_size: int = 0
     fused_attention: bool = False   # Pallas kernel (TPU, no attn probs)
@@ -129,7 +145,8 @@ class ConformerEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, pos_emb, key_padding_mask=None, attn_mask=None,
-                 deterministic=True, layer_state=None):
+                 deterministic=True, layer_state=None,
+                 mask_conv_input=False):
         """Streaming: ``layer_state = {"attn": kv_cache, "conv": frames}``
         processes x as NEW frames appended to the cached history; returns
         (x, attn_w, new_state)."""
@@ -137,9 +154,10 @@ class ConformerEncoderLayer(nn.Module):
         # Macaron FFN (1/2)
         ff1 = nn.LayerNorm(dtype=self.dtype)(x)
         ff1 = FeedForward(self.d_ffn, self.d_model, self.dropout,
-                          self.activation, dtype=self.dtype,
-                          name="ffn1")(ff1, deterministic)
-        ff1 = nn.Dropout(self.dropout, deterministic=deterministic)(ff1)
+                          self.dropout_bits, self.activation,
+                          dtype=self.dtype, name="ffn1")(ff1, deterministic)
+        ff1 = Dropout(self.dropout, bits=self.dropout_bits,
+                      deterministic=deterministic)(ff1)
         x = x + 0.5 * ff1
 
         # Self-attention
@@ -147,7 +165,8 @@ class ConformerEncoderLayer(nn.Module):
         attn_in = nn.LayerNorm(dtype=self.dtype, name="norm_mha")(x)
         mha = RelPosMHAXL(
             embed_dim=self.d_model, num_heads=self.nhead,
-            dropout=self.dropout, mask_pos_future=self.causal,
+            dropout=self.dropout, dropout_bits=self.dropout_bits,
+            mask_pos_future=self.causal,
             att_context_size=self.att_context_size,
             fused=self.fused_attention and not streaming,
             dtype=self.dtype, name="mha")
@@ -164,8 +183,8 @@ class ConformerEncoderLayer(nn.Module):
         # Convolution module
         conv = ConvolutionModule(
             self.d_model, self.kernel_size, causal=self.causal,
-            dropout=self.dropout, activation=self.activation,
-            dtype=self.dtype, name="conv")
+            dropout=self.dropout, dropout_bits=self.dropout_bits,
+            activation=self.activation, dtype=self.dtype, name="conv")
         if streaming:
             conv_out, new_conv_cache = conv(
                 x, deterministic=deterministic,
@@ -173,14 +192,16 @@ class ConformerEncoderLayer(nn.Module):
             x = x + conv_out
         else:
             x = x + conv(x, pad_mask=key_padding_mask,
-                         deterministic=deterministic)
+                         deterministic=deterministic,
+                         mask_conv_input=mask_conv_input)
 
         # Macaron FFN (2/2) + final norm
         ff2 = nn.LayerNorm(dtype=self.dtype)(x)
         ff2 = FeedForward(self.d_ffn, self.d_model, self.dropout,
-                          self.activation, dtype=self.dtype,
-                          name="ffn2")(ff2, deterministic)
-        ff2 = nn.Dropout(self.dropout, deterministic=deterministic)(ff2)
+                          self.dropout_bits, self.activation,
+                          dtype=self.dtype, name="ffn2")(ff2, deterministic)
+        ff2 = Dropout(self.dropout, bits=self.dropout_bits,
+                      deterministic=deterministic)(ff2)
         x = nn.LayerNorm(dtype=self.dtype, name="norm_out")(x + 0.5 * ff2)
         if streaming:
             return x, attn_w, {"attn": new_attn_state,
@@ -202,6 +223,7 @@ class TSConformerEncoder(nn.Module):
     d_ffn: int = 2048
     kernel_size: int = 31
     dropout: float = 0.0
+    dropout_bits: int = 32      # random-bit width per dropout mask elem
     causal: bool = False
     att_context_size: int = 0   # >0: bounded left attention context
     activation: Callable = jax.nn.leaky_relu
@@ -249,7 +271,8 @@ class TSConformerEncoder(nn.Module):
 
         x = nn.Dense(self.d_model, kernel_init=xavier_normal(),
                      dtype=self.dtype, name="input_proj")(src)
-        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        x = Dropout(self.dropout, bits=self.dropout_bits,
+                    deterministic=deterministic)(x)
 
         inject = self._make_injector(speaker_embs, speaker_embs_length)
         injection_after = tuple(self.injection_after) \
@@ -277,7 +300,7 @@ class TSConformerEncoder(nn.Module):
             layer = layer_cls(
                 d_model=self.d_model, d_ffn=self.d_ffn, nhead=self.nhead,
                 kernel_size=self.kernel_size, dropout=self.dropout,
-                causal=self.causal,
+                dropout_bits=self.dropout_bits, causal=self.causal,
                 att_context_size=self.att_context_size,
                 fused_attention=(self.fused_attention
                                  and not return_attn),
@@ -320,7 +343,8 @@ class TSConformerEncoder(nn.Module):
         elif mode == "cross_attention":
             speaker_attn = CrossAttention(
                 embed_dim=self.d_model, num_heads=self.nhead,
-                dropout=self.dropout, dtype=self.dtype, name="speaker_attn")
+                dropout=self.dropout, dropout_bits=self.dropout_bits,
+                dtype=self.dtype, name="speaker_attn")
 
         def inject(x, deterministic):
             if mode == "prod":

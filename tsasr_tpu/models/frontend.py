@@ -27,6 +27,8 @@ from typing import Any, Callable, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from tsasr_tpu.ops.dropout import Dropout
+
 Dtype = Any
 
 
@@ -52,6 +54,7 @@ class ConvBlock(nn.Module):
     stride: int = 1
     residual: bool = True
     dropout: float = 0.1
+    dropout_bits: int = 32
     causal: bool = False
     activation: Callable = nn.leaky_relu
     dtype: Dtype = jnp.float32
@@ -93,8 +96,8 @@ class ConvBlock(nn.Module):
                                feature_axes=(-2, -1), epsilon=1e-5,
                                dtype=self.dtype, name=f"norm_{i}")(out)
             out = self.activation(out)
-            out = nn.Dropout(self.dropout,
-                             deterministic=deterministic)(out)
+            out = Dropout(self.dropout, bits=self.dropout_bits,
+                          deterministic=deterministic)(out)
         if self.residual:
             res = nn.Conv(self.out_channels, kernel_size=(1, 1),
                           strides=(self.stride, self.stride),
@@ -104,7 +107,8 @@ class ConvBlock(nn.Module):
                                feature_axes=(-2, -1), epsilon=1e-5,
                                dtype=self.dtype, name="residual_norm")(res)
             out = out + res
-            out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
+            out = Dropout(self.dropout, bits=self.dropout_bits,
+                          deterministic=deterministic)(out)
         if streaming:
             return out, x_ext[:, -(self.kernel_size - 1):]
         return out
@@ -119,6 +123,7 @@ class ConvolutionFrontEnd(nn.Module):
     residuals: Sequence[bool] = (True, True)
     num_layers_per_block: int = 1
     dropout: float = 0.1
+    dropout_bits: int = 32
     causal: bool = False
     activation: Callable = nn.leaky_relu
     dtype: Dtype = jnp.float32
@@ -144,7 +149,9 @@ class ConvolutionFrontEnd(nn.Module):
             block = ConvBlock(out_channels=ch, kernel_size=k, stride=s,
                               residual=r,
                               num_layers=self.num_layers_per_block,
-                              dropout=self.dropout, causal=self.causal,
+                              dropout=self.dropout,
+                              dropout_bits=self.dropout_bits,
+                              causal=self.causal,
                               activation=self.activation,
                               dtype=self.dtype, name=f"block_{i}")
             if streaming:

@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from tsasr_tpu.ops.dropout import Dropout
+
 Dtype = Any
 
 
@@ -35,6 +37,7 @@ class LSTM(nn.Module):
     in_features: int
     num_layers: int = 1
     dropout: float = 0.0
+    dropout_bits: int = 32
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -54,7 +57,8 @@ class LSTM(nn.Module):
             ))
             size = H
         self.weights = weights
-        self.inter_dropout = nn.Dropout(self.dropout)
+        self.inter_dropout = Dropout(self.dropout,
+                                     bits=self.dropout_bits)
 
     def __call__(self, x, initial_state=None):
         """Run the full sequence; returns (output (B, U, H), final state
@@ -143,6 +147,7 @@ class BiLSTM(nn.Module):
     in_features: int
     num_layers: int = 1
     dropout: float = 0.0
+    dropout_bits: int = 32
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -167,7 +172,8 @@ class BiLSTM(nn.Module):
             weights.append(per_dir)
             size = 2 * H
         self.weights = weights
-        self.inter_dropout = nn.Dropout(self.dropout)
+        self.inter_dropout = Dropout(self.dropout,
+                                     bits=self.dropout_bits)
 
     def __call__(self, x, deterministic=True, abs_lengths=None):
         """``abs_lengths`` reproduces torch ``pack_padded_sequence``

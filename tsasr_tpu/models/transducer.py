@@ -48,6 +48,10 @@ class TSTransducerConfig:
     d_ffn: int = 2048
     kernel_size: int = 31
     dropout: float = 0.1
+    # random-bit width per dropout mask element: 32 = exact nn.Dropout
+    # (bernoulli); 8/16 draw narrower bits (keep-prob quantized to
+    # 1/2**bits) — measurably cheaper on TPU (reports/perf_r3.md)
+    dropout_bits: int = 32
     causal_encoder: bool = False
     att_context_size: int = 0   # >0: bounded left attention context
     frontend_causal: bool = False
@@ -174,12 +178,13 @@ class TSTransducer(nn.Module):
         self.frontend = ConvolutionFrontEnd(
             out_channels=tuple(c.frontend_channels),
             strides=tuple(c.frontend_strides), dropout=c.dropout,
+            dropout_bits=c.dropout_bits,
             causal=c.frontend_causal, dtype=c.dtype)
         self.encoder = TSConformerEncoder(
             d_model=c.d_model, nhead=c.nhead,
             num_layers=c.encoder_num_layers, d_ffn=c.d_ffn,
             kernel_size=c.kernel_size, dropout=c.dropout,
-            causal=c.causal_encoder,
+            dropout_bits=c.dropout_bits, causal=c.causal_encoder,
             att_context_size=c.att_context_size,
             injection_mode=c.injection_mode,
             injection_after=(tuple(c.injection_after)
@@ -215,11 +220,13 @@ class TSTransducer(nn.Module):
                 self.speaker_frontend = ConvolutionFrontEnd(
                     out_channels=tuple(c.frontend_channels),
                     strides=tuple(c.frontend_strides), dropout=c.dropout,
+                    dropout_bits=c.dropout_bits,
                     causal=False, dtype=c.dtype)
                 self.speaker_encoder = TSConformerEncoder(
                     d_model=c.d_model, nhead=c.nhead,
                     num_layers=c.speaker_encoder_layers, d_ffn=c.d_ffn,
                     kernel_size=c.kernel_size, dropout=c.dropout,
+                    dropout_bits=c.dropout_bits,
                     causal=False, injection_mode=None, remat=c.remat,
                     remat_policy=c.remat_policy,
                     fused_attention=c.fused_attention, dtype=c.dtype)
@@ -331,6 +338,27 @@ class TSTransducer(nn.Module):
             speaker_embs_length=speaker_rel_lens, deterministic=True,
             return_attn=True)
         return self.encoder_proj(x), attns
+
+    def encode_seq_parallel(self, feats, rel_lens, mesh,
+                            speaker_embs=None, speaker_rel_lens=None,
+                            deterministic=True, halo=None, rngs=None):
+        """``encode`` with the Conformer's TIME axis sharded over
+        ``mesh``'s ``'seq'`` axis (``parallel/seq_parallel.py``: per-layer
+        halo exchange; causal banded encoders only). The frontend runs
+        data-parallel — its activations subsample 4x and are not the
+        long-form memory bottleneck. Post-frontend frame count must
+        divide the seq axis. ``rngs`` ({'dropout': key}) is folded per
+        shard for train-mode dropout; the flax rng context is not used
+        on the sequence-sharded section.
+        """
+        from tsasr_tpu.parallel.seq_parallel import sp_encoder_apply
+        x = self.frontend(feats, deterministic=deterministic)
+        x = sp_encoder_apply(
+            self.encoder, self.encoder.variables, x, rel_lens, mesh,
+            speaker_embs=speaker_embs,
+            speaker_embs_length=speaker_rel_lens,
+            deterministic=deterministic, halo=halo, rngs=rngs)
+        return self.encoder_proj(x)
 
     # --------------------------------------------------------- predictor
     def predict(self, tokens_bos, initial_state=None):
