@@ -30,14 +30,24 @@ logger = logging.getLogger(__name__)
 TP_KERNELS_PER_CONFORMER_LAYER = 8
 
 
-def make_mesh(dp=None, tp=1, devices=None):
-    """Build a (data, model) mesh over the available devices."""
+def make_mesh(dp=None, tp=1, sp=1, devices=None):
+    """Build a (data[, seq], model) mesh over the available devices.
+
+    ``sp > 1`` adds a ``'seq'`` axis between data and model for
+    sequence parallelism (``parallel/seq_parallel.py``: the encoder's
+    time axis sharded with per-layer halo exchange). With the default
+    ``sp=1`` the mesh keeps the historical two-axis shape.
+    """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if dp is None:
-        dp = n // tp
-    if dp * tp != n:
-        raise ValueError(f"dp ({dp}) * tp ({tp}) != device count ({n})")
+        dp = n // (tp * sp)
+    if dp * tp * sp != n:
+        raise ValueError(
+            f"dp ({dp}) * tp ({tp}) * sp ({sp}) != device count ({n})")
+    if sp > 1:
+        arr = np.asarray(devices).reshape(dp, sp, tp)
+        return Mesh(arr, axis_names=("data", "seq", "model"))
     arr = np.asarray(devices).reshape(dp, tp)
     return Mesh(arr, axis_names=("data", "model"))
 
