@@ -360,6 +360,26 @@ class TSTransducer(nn.Module):
             deterministic=deterministic, halo=halo, rngs=rngs)
         return self.encoder_proj(x)
 
+    def encode_pipeline(self, feats, rel_lens, mesh,
+                        speaker_embs=None, speaker_rel_lens=None,
+                        deterministic=True, n_micro=None, rngs=None):
+        """``encode`` with the Conformer's LAYER axis sharded over
+        ``mesh``'s ``'pipe'`` axis (``parallel/pp_parallel.py``: GPipe
+        microbatch schedule, activation blocks streamed stage-to-stage
+        over ppermute). The frontend runs data-parallel — it is a single
+        shallow stage, not worth a pipeline slot. ``num_layers`` must be
+        divisible by the pipe axis; the per-data-shard batch must be
+        divisible by ``n_micro`` (default: pipe axis size).
+        """
+        from tsasr_tpu.parallel.pp_parallel import pp_encoder_apply
+        x = self.frontend(feats, deterministic=deterministic)
+        x = pp_encoder_apply(
+            self.encoder, self.encoder.variables, x, rel_lens, mesh,
+            speaker_embs=speaker_embs,
+            speaker_embs_length=speaker_rel_lens,
+            deterministic=deterministic, n_micro=n_micro, rngs=rngs)
+        return self.encoder_proj(x)
+
     # --------------------------------------------------------- predictor
     def predict(self, tokens_bos, initial_state=None):
         return self.predictor(tokens_bos, initial_state)

@@ -8,6 +8,10 @@ from tsasr_tpu.parallel.mesh import (  # noqa: F401
     param_shardings,
     shard_batch,
 )
+from tsasr_tpu.parallel.pp_parallel import (  # noqa: F401
+    pp_encoder_apply,
+    stack_layer_params,
+)
 from tsasr_tpu.parallel.distributed import (  # noqa: F401
     if_main_process,
     run_on_main,

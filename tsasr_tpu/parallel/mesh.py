@@ -30,26 +30,32 @@ logger = logging.getLogger(__name__)
 TP_KERNELS_PER_CONFORMER_LAYER = 8
 
 
-def make_mesh(dp=None, tp=1, sp=1, devices=None):
-    """Build a (data[, seq], model) mesh over the available devices.
+def make_mesh(dp=None, tp=1, sp=1, pp=1, devices=None):
+    """Build a (data[, pipe][, seq], model) mesh over the devices.
 
-    ``sp > 1`` adds a ``'seq'`` axis between data and model for
-    sequence parallelism (``parallel/seq_parallel.py``: the encoder's
-    time axis sharded with per-layer halo exchange). With the default
-    ``sp=1`` the mesh keeps the historical two-axis shape.
+    ``sp > 1`` adds a ``'seq'`` axis for sequence parallelism
+    (``parallel/seq_parallel.py``: the encoder's time axis sharded with
+    per-layer halo exchange); ``pp > 1`` adds a ``'pipe'`` axis for
+    pipeline parallelism (``parallel/pp_parallel.py``: contiguous layer
+    blocks per device, GPipe microbatch schedule). With the defaults
+    the mesh keeps the historical two-axis (data, model) shape.
     """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if dp is None:
-        dp = n // (tp * sp)
-    if dp * tp * sp != n:
+        dp = n // (tp * sp * pp)
+    if dp * tp * sp * pp != n:
         raise ValueError(
-            f"dp ({dp}) * tp ({tp}) * sp ({sp}) != device count ({n})")
+            f"dp ({dp}) * tp ({tp}) * sp ({sp}) * pp ({pp}) != device "
+            f"count ({n})")
+    dims = [("data", dp)]
+    if pp > 1:
+        dims.append(("pipe", pp))
     if sp > 1:
-        arr = np.asarray(devices).reshape(dp, sp, tp)
-        return Mesh(arr, axis_names=("data", "seq", "model"))
-    arr = np.asarray(devices).reshape(dp, tp)
-    return Mesh(arr, axis_names=("data", "model"))
+        dims.append(("seq", sp))
+    dims.append(("model", tp))
+    arr = np.asarray(devices).reshape([d for _, d in dims])
+    return Mesh(arr, axis_names=tuple(name for name, _ in dims))
 
 
 def batch_sharding(mesh, ndim=1):
