@@ -5,8 +5,13 @@ The reference scales only by data parallelism (``core.py:1464-1490``).
 ``parallel/seq_parallel.py`` sequence parallelism ('seq'); this module
 adds the remaining classic axis: a ``'pipe'`` mesh axis holding a
 contiguous block of Conformer layers per device, with activations
-streamed stage-to-stage as a GPipe schedule — the parameter memory and
-per-layer FLOPs of a deep encoder scale as ``num_layers / P`` per chip.
+streamed stage-to-stage as a GPipe schedule — the per-layer FLOPs and
+the *stacked working copy* of the layer parameters scale as
+``num_layers / P`` per chip. (The canonical per-layer variables, their
+gradients, and the optimizer state stay replicated unless the caller
+also shards them over 'pipe'; what this module sharded-izes is compute
+and the transient stacked tree built inside the differentiated
+function.)
 
 Design (TPU-first):
 
@@ -94,7 +99,7 @@ def pp_encoder_apply(encoder, variables, feats, rel_lengths, mesh,
     ``mesh``'s ``pipe_axis`` (GPipe microbatch schedule).
 
     feats : (B, T, F) or (B, T, F1, F2) global features. The per-data-
-        shard batch must divide ``n_micro``.
+        shard batch must be divisible by ``n_micro``.
     rel_lengths : (B,) relative lengths in (0, 1] (or None).
     n_micro : microbatches per data shard; default = pipe axis size
         (the smallest count that keeps the steady state full).
@@ -196,7 +201,7 @@ def pp_encoder_apply(encoder, variables, feats, rel_lengths, mesh,
         Bl, T_, d = x_loc.shape
         if Bl % n_micro != 0:
             raise ValueError(
-                f"per-shard batch ({Bl}) must divide n_micro "
+                f"per-shard batch ({Bl}) must be divisible by n_micro "
                 f"({n_micro})")
         Bm = Bl // n_micro
         M = n_micro
@@ -221,7 +226,13 @@ def pp_encoder_apply(encoder, variables, feats, rel_lengths, mesh,
         def stage(x_mb, kpm_u8, spk_mb, mid):
             body = run_layer
             if encoder.remat:
-                body = jax.checkpoint(run_layer, static_argnums=())
+                # mirror TSConformerEncoder.__call__: 'dots' keeps matmul
+                # outputs and recomputes the elementwise tail
+                kwargs = {}
+                if encoder.remat_policy == "dots":
+                    kwargs["policy"] = jax.checkpoint_policies.dots_saveable
+                body = jax.checkpoint(run_layer, static_argnums=(),
+                                      **kwargs)
             def scan_body(carry_x, per_layer):
                 y = body(carry_x, kpm_u8, mid, per_layer)
                 if inj_inside:
