@@ -44,7 +44,11 @@ def make_dataset(out_dir, n_speakers=4, utts_per_speaker=6, n_mix=12,
                  num_speakers_per_mix=2, min_dur=1.0, max_dur=3.0,
                  sample_rate=16000, seed=0, splits=("train-2mix",
                                                     "dev-clean-2mix",
-                                                    "test-clean-2mix")):
+                                                    "test-clean-2mix"),
+                 split_n_mix=None):
+    """``n_mix`` mixtures per split, or ``split_n_mix`` ({split: count})
+    for asymmetric corpora (e.g. the north-star run's large train split,
+    ``tools/northstar/run_northstar.py``)."""
     from tsasr_tpu.data.audio import write_wav
     rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)
@@ -56,7 +60,8 @@ def make_dataset(out_dir, n_speakers=4, utts_per_speaker=6, n_mix=12,
         spk_dir = os.path.join(out_dir, f"spk{spk}")
         os.makedirs(spk_dir, exist_ok=True)
         # a stable per-speaker voice: fixed fundamental, well separated
-        spk_f0 = 100.0 + 40.0 * spk + float(rng.uniform(-5, 5))
+        spk_f0 = 100.0 + (160.0 / max(n_speakers, 4)) * spk \
+            + float(rng.uniform(-5, 5))
         utts = []
         for u in range(utts_per_speaker):
             dur = float(rng.uniform(min_dur, max_dur))
@@ -71,7 +76,8 @@ def make_dataset(out_dir, n_speakers=4, utts_per_speaker=6, n_mix=12,
 
     for split in splits:
         entries = []
-        for m in range(n_mix):
+        count = (split_n_mix or {}).get(split, n_mix)
+        for m in range(count):
             spks = rng.choice(n_speakers, num_speakers_per_mix,
                               replace=False)
             wavs, durations, delays, mix_texts = [], [], [], []
@@ -111,7 +117,16 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument("out_dir")
     parser.add_argument("--n_mix", type=int, default=12)
+    parser.add_argument("--train_mix", type=int, default=None,
+                        help="mixtures for the train split (others n_mix)")
+    parser.add_argument("--n_speakers", type=int, default=4)
+    parser.add_argument("--utts_per_speaker", type=int, default=6)
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
-    make_dataset(args.out_dir, n_mix=args.n_mix, seed=args.seed)
+    split_n_mix = ({"train-2mix": args.train_mix}
+                   if args.train_mix is not None else None)
+    make_dataset(args.out_dir, n_mix=args.n_mix, seed=args.seed,
+                 n_speakers=args.n_speakers,
+                 utts_per_speaker=args.utts_per_speaker,
+                 split_n_mix=split_n_mix)
     print(f"Synthetic LibriSpeechMix-style dataset at {args.out_dir}")

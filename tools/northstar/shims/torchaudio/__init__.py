@@ -111,7 +111,7 @@ def _resample(waveform, orig_freq, new_freq, lowpass_filter_width=6):
     return torch.from_numpy(out)
 
 
-functional = SimpleNamespace(resample=_resample, rnnt_loss=_rnnt_loss)
+from . import functional  # noqa: E402  (real submodule, see functional.py)
 
 
 class _Resample(torch.nn.Module):
