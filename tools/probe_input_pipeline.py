@@ -42,6 +42,11 @@ def main():
     ap.add_argument("--seconds", type=float, default=20.0,
                     help="probe duration")
     ap.add_argument("--vocab_size", type=int, default=None)
+    ap.add_argument("--workers_sweep", type=str, default=None,
+                    help="comma-separated num_workers values, e.g. "
+                         "'0,1,2,4': measure each and print one JSON "
+                         "row per value (round-4 verdict item 7 — host "
+                         "pipeline scaling vs worker count)")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -87,39 +92,44 @@ def main():
 
     train_data, _, _ = dataio_prepare(hparams, tokenizer)
     kwargs = build_dataloader_kwargs(hparams, train_data, "train")
-    loader = SaveableDataLoader(train_data, **kwargs)
 
-    # measure: full epoch loops until the probe budget elapses
-    start = time.perf_counter()
-    audio_sec = 0.0
-    n_samples = 0
-    n_batches = 0
-    deadline = start + args.seconds
-    while time.perf_counter() < deadline:
-        for batch in loader:
-            sig = batch.mixed_sig
-            lens = sig.lengths * sig.data.shape[1]
-            audio_sec += float(lens.sum()) / hparams["sample_rate"]
-            n_samples += sig.data.shape[0]
-            n_batches += 1
-            if time.perf_counter() >= deadline:
-                break
-    elapsed = time.perf_counter() - start
+    def measure(num_workers):
+        kw = dict(kwargs, num_workers=num_workers)
+        loader = SaveableDataLoader(train_data, **kw)
+        start = time.perf_counter()
+        audio_sec = 0.0
+        n_samples = 0
+        n_batches = 0
+        deadline = start + args.seconds
+        while time.perf_counter() < deadline:
+            for batch in loader:
+                sig = batch.mixed_sig
+                lens = sig.lengths * sig.data.shape[1]
+                audio_sec += float(lens.sum()) / hparams["sample_rate"]
+                n_samples += sig.data.shape[0]
+                n_batches += 1
+                if time.perf_counter() >= deadline:
+                    break
+        elapsed = time.perf_counter() - start
+        result = {
+            "num_workers": num_workers,
+            "host_audio_sec_per_sec": round(audio_sec / elapsed, 2),
+            "host_samples_per_sec": round(n_samples / elapsed, 2),
+            "batches": n_batches,
+            "probe_seconds": round(elapsed, 2),
+        }
+        if args.device_samples_per_sec:
+            device_audio_rate = args.device_samples_per_sec * args.mix_sec
+            result["device_samples_per_sec"] = args.device_samples_per_sec
+            result["starvation_ratio"] = round(
+                audio_sec / elapsed / device_audio_rate, 3)
+        return result
 
-    host_audio_rate = audio_sec / elapsed
-    host_sample_rate = n_samples / elapsed
-    result = {
-        "host_audio_sec_per_sec": round(host_audio_rate, 2),
-        "host_samples_per_sec": round(host_sample_rate, 2),
-        "batches": n_batches,
-        "probe_seconds": round(elapsed, 2),
-    }
-    if args.device_samples_per_sec:
-        device_audio_rate = args.device_samples_per_sec * args.mix_sec
-        result["device_samples_per_sec"] = args.device_samples_per_sec
-        result["starvation_ratio"] = round(
-            host_audio_rate / device_audio_rate, 3)
-    print(json.dumps(result))
+    if args.workers_sweep:
+        for w in (int(x) for x in args.workers_sweep.split(",")):
+            print(json.dumps(measure(w)))
+    else:
+        print(json.dumps(measure(kwargs.get("num_workers", 0))))
 
 
 if __name__ == "__main__":

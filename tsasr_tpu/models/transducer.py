@@ -72,6 +72,15 @@ class TSTransducerConfig:
     remat: bool = False
     remat_policy: str = "full"   # "full" | "dots" (see TSConformerEncoder)
     fused_attention: bool = False  # Pallas attention kernel (TPU)
+    # YAML-swappable component classes (models/registry.py): a registry
+    # name or dotted import path; None = the built-in. The replacement
+    # must accept the same constructor kwargs + call signature as the
+    # built-in it replaces (the reference swaps modules via per-module
+    # !new: blocks, conformer-t_scratch.yaml:122-251).
+    frontend_class: Optional[str] = None
+    encoder_class: Optional[str] = None
+    predictor_class: Optional[str] = None
+    joiner_class: Optional[str] = None
     dtype: Any = jnp.float32
 
 
@@ -174,13 +183,20 @@ class TSTransducer(nn.Module):
     config: TSTransducerConfig = field(default_factory=TSTransducerConfig)
 
     def setup(self):
+        from tsasr_tpu.models.registry import resolve
         c = self.config
-        self.frontend = ConvolutionFrontEnd(
+        frontend_cls = resolve("frontend", c.frontend_class) \
+            or ConvolutionFrontEnd
+        encoder_cls = resolve("encoder", c.encoder_class) \
+            or TSConformerEncoder
+        predictor_cls = resolve("predictor", c.predictor_class) or Predictor
+        joiner_cls = resolve("joiner", c.joiner_class) or Joiner
+        self.frontend = frontend_cls(
             out_channels=tuple(c.frontend_channels),
             strides=tuple(c.frontend_strides), dropout=c.dropout,
             dropout_bits=c.dropout_bits,
             causal=c.frontend_causal, dtype=c.dtype)
-        self.encoder = TSConformerEncoder(
+        self.encoder = encoder_cls(
             d_model=c.d_model, nhead=c.nhead,
             num_layers=c.encoder_num_layers, d_ffn=c.d_ffn,
             kernel_size=c.kernel_size, dropout=c.dropout,
@@ -194,12 +210,12 @@ class TSTransducer(nn.Module):
             fused_attention=c.fused_attention, dtype=c.dtype)
         self.encoder_proj = nn.Dense(c.joint_dim, dtype=c.dtype,
                                      name="encoder_proj")
-        self.predictor = Predictor(
+        self.predictor = predictor_cls(
             vocab_size=c.vocab_size, blank_index=c.blank_index,
             hidden_size=c.decoder_neurons, num_layers=c.decoder_num_layers,
             joint_dim=c.joint_dim, dtype=c.dtype)
-        self.joiner = Joiner(joint_dim=c.joint_dim, mode=c.joint_mode,
-                             dtype=c.dtype)
+        self.joiner = joiner_cls(joint_dim=c.joint_dim, mode=c.joint_mode,
+                                 dtype=c.dtype)
         self.head = nn.Dense(c.vocab_size, dtype=c.dtype,
                              name="transducer_head")
 
@@ -347,9 +363,11 @@ class TSTransducer(nn.Module):
         halo exchange; causal banded encoders only). The frontend runs
         data-parallel — its activations subsample 4x and are not the
         long-form memory bottleneck. Post-frontend frame count must
-        divide the seq axis. ``rngs`` ({'dropout': key}) is folded per
-        shard for train-mode dropout; the flax rng context is not used
-        on the sequence-sharded section.
+        divide the seq axis — the recipe guarantees this by bumping
+        ``pad_feats_to`` (``recipes/librispeechmix.py``); standalone
+        callers get ``sp_encoder_apply``'s divisibility error. ``rngs``
+        ({'dropout': key}) is folded per shard for train-mode dropout;
+        the flax rng context is not used on the sequence-sharded section.
         """
         from tsasr_tpu.parallel.seq_parallel import sp_encoder_apply
         x = self.frontend(feats, deterministic=deterministic)
@@ -415,13 +433,23 @@ class TSTransducer(nn.Module):
     # ----------------------------------------------------------- training
     def encode_predict(self, feats, rel_lens, tokens_bos,
                        enroll_feats=None, enroll_rel_lens=None,
-                       external_speaker_embs=None, deterministic=True):
+                       external_speaker_embs=None, deterministic=True,
+                       mesh=None):
         """Forward pass up to (excluding) joint+head: returns
         (enc_out (B, T', J), dec_out (B, U+1, J)).
 
         The fused-loss train path (``ops.rnnt_loss_fused``) consumes
         these plus the ``transducer_head`` parameters directly, so the
         (B, T', U+1, J) joint activations never materialize in HBM.
+
+        ``mesh`` routes the encoder through a parallel variant when the
+        mesh carries the matching axis: ``'seq'`` ->
+        ``encode_seq_parallel`` (time-sharded, causal banded configs),
+        ``'pipe'`` -> ``encode_pipeline`` (layer-sharded GPipe). This is
+        how the trainer's ``--sequence_parallel_count`` /
+        ``--pipeline_parallel_count`` run-opts reach the jitted step —
+        the reference keeps its (one) parallelism inside the trainer too
+        (``core.py:1464-1490``).
         """
         c = self.config
         speaker_embs = None
@@ -437,15 +465,29 @@ class TSTransducer(nn.Module):
                     deterministic=deterministic)
                 speaker_rel = enroll_rel_lens
 
-        enc_out = self.encode(feats, rel_lens, speaker_embs, speaker_rel,
-                              deterministic=deterministic)
+        if mesh is not None and "seq" in mesh.axis_names:
+            rngs = None if deterministic else \
+                {"dropout": self.make_rng("dropout")}
+            enc_out = self.encode_seq_parallel(
+                feats, rel_lens, mesh, speaker_embs, speaker_rel,
+                deterministic=deterministic, rngs=rngs)
+        elif mesh is not None and "pipe" in mesh.axis_names:
+            rngs = None if deterministic else \
+                {"dropout": self.make_rng("dropout")}
+            enc_out = self.encode_pipeline(
+                feats, rel_lens, mesh, speaker_embs, speaker_rel,
+                deterministic=deterministic, rngs=rngs)
+        else:
+            enc_out = self.encode(feats, rel_lens, speaker_embs,
+                                  speaker_rel,
+                                  deterministic=deterministic)
         dec_out, _ = self.predict(tokens_bos)
         return enc_out, dec_out
 
     def __call__(self, feats, rel_lens, tokens_bos, enroll_feats=None,
                  enroll_rel_lens=None, external_speaker_embs=None,
                  deterministic=True, band_width=None,
-                 token_rel_lens=None):
+                 token_rel_lens=None, mesh=None):
         """Training/eval forward pass -> (logits, enc_out).
 
         ``enroll_feats`` drives the scratch speaker encoder;
@@ -456,12 +498,16 @@ class TSTransducer(nn.Module):
         joint/head run only on a diagonal band: logits come back as
         (B, T', band_width, V) and the loss side recomputes the same
         ``band_centers`` (deterministic in the lengths).
+
+        ``mesh``: see ``encode_predict`` — routes the encoder through
+        the sequence-/pipeline-parallel variant when the mesh carries a
+        'seq'/'pipe' axis.
         """
         enc_out, dec_out = self.encode_predict(
             feats, rel_lens, tokens_bos, enroll_feats=enroll_feats,
             enroll_rel_lens=enroll_rel_lens,
             external_speaker_embs=external_speaker_embs,
-            deterministic=deterministic)
+            deterministic=deterministic, mesh=mesh)
         if band_width is not None:
             from tsasr_tpu.ops.rnnt_loss_banded import band_centers
             Tp = enc_out.shape[1]

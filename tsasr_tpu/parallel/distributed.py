@@ -9,6 +9,48 @@ device collectives.
 """
 
 import json
+import logging
+import os
+
+logger = logging.getLogger(__name__)
+
+_initialized = False
+
+
+def maybe_init_distributed():
+    """Join the process group announced by ``parallel.launch``.
+
+    Reads ``TSASR_DIST_{COORDINATOR,NUM_PROCESSES,PROCESS_ID}`` (set per
+    worker by ``python -m tsasr_tpu.parallel.launch``) and calls
+    ``jax.distributed.initialize`` BEFORE any device is used — the JAX
+    equivalent of the reference's ``ddp_init_group``
+    (``utils/distributed.py:123-201``). No-op without the env vars or if
+    already initialized. Returns True when multi-process mode is active.
+
+    On the CPU backend, cross-process collectives need an explicit
+    implementation; gloo ships with jaxlib and is selected here.
+    """
+    global _initialized
+    if _initialized:
+        return True
+    coordinator = os.environ.get("TSASR_DIST_COORDINATOR")
+    if not coordinator:
+        return False
+    import jax
+    num_processes = int(os.environ["TSASR_DIST_NUM_PROCESSES"])
+    process_id = int(os.environ["TSASR_DIST_PROCESS_ID"])
+    platforms = (os.environ.get("JAX_PLATFORMS")
+                 or os.environ.get("JAX_PLATFORM_NAME") or "")
+    if "cpu" in platforms.lower():
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    _initialized = True
+    logger.info("distributed: process %d/%d, %d local / %d global devices",
+                jax.process_index(), jax.process_count(),
+                jax.local_device_count(), jax.device_count())
+    return True
 
 
 def _safe_process_index():

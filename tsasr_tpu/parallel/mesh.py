@@ -189,8 +189,12 @@ def pad_batch_to(batch_arrays, multiple):
 
 
 def shard_batch(batch_arrays, mesh):
-    """Host arrays -> device arrays sharded over the 'data' axis."""
-    dp = mesh.shape["data"]
+    """Host arrays -> device arrays sharded over the 'data' axis.
+
+    Under a 'pipe' mesh axis the per-data-shard batch must also divide
+    the GPipe microbatch count (``pp_parallel.pp_encoder_apply``,
+    default n_micro = pipe size), so the batch pads to data*pipe."""
+    dp = mesh.shape["data"] * mesh.shape.get("pipe", 1)
     padded = pad_batch_to(batch_arrays, dp)
     return {
         key: jax.device_put(value, batch_sharding(mesh, np.ndim(value)))

@@ -258,9 +258,25 @@ class TSASRBrain(Brain):
             return False
         return bool(getattr(self.hparams, "fused_joint_loss", True))
 
+    def _encoder_mesh(self, stage):
+        """Mesh routed into the model forward when it carries an
+        encoder-parallel axis ('seq'/'pipe'); plain dp/tp meshes stay
+        out of the model (XLA propagates those shardings from the
+        batch/params). Multi-process eval is process-local
+        (``Brain._local_eval``), so no mesh reaches the model there."""
+        m = self.mesh
+        if m is None or not (set(m.axis_names) & {"seq", "pipe"}):
+            return None
+        if stage != Stage.TRAIN and self._local_eval():
+            return None
+        return m
+
     def compute_forward(self, params, batch, stage, rng):
         feats, rel = self._mixture_features(batch, stage, rng)
         kwargs = self._forward_kwargs(batch)
+        enc_mesh = self._encoder_mesh(stage)
+        if enc_mesh is not None:
+            kwargs["mesh"] = enc_mesh
         deterministic = stage != Stage.TRAIN
         apply_kwargs = {}
         if not deterministic:
@@ -287,6 +303,11 @@ class TSASRBrain(Brain):
         return logits, enc_out, rel
 
     def compute_objectives(self, predictions, batch, stage):
+        # multi-process eval batches are process-local (disjoint sampler
+        # shards), so the loss kernels must not shard over the global
+        # mesh there; training always rides the mesh
+        mesh = self.mesh if (stage == Stage.TRAIN
+                             or not self._local_eval()) else None
         logits, _, rel = predictions
         tokens = jnp.asarray(batch["tokens"])
         target_lens = jnp.round(jnp.asarray(batch["tokens_lens"])
@@ -301,7 +322,7 @@ class TSASRBrain(Brain):
                 target_lens, blank=self.hparams.blank_index,
                 reduction="none",
                 chunk=int(getattr(self.hparams, "fused_loss_chunk", 8)),
-                use_pallas="auto", mesh=self.mesh)
+                use_pallas="auto", mesh=mesh)
             w = jnp.asarray(batch["weight"])
             return jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1.0)
         input_lens = jnp.round(rel * logits.shape[1]).astype(jnp.int32)
@@ -326,7 +347,7 @@ class TSASRBrain(Brain):
             losses = rnnt_loss(logits, tokens, input_lens, target_lens,
                                blank=self.hparams.blank_index,
                                reduction="none", use_pallas="auto",
-                               mesh=self.mesh)
+                               mesh=mesh)
         w = jnp.asarray(batch["weight"])
         return jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1.0)
 
@@ -404,8 +425,10 @@ class TSASRBrain(Brain):
                     **lm_kwargs,
                     state_beam=self.hparams.state_beam,
                     expand_beam=self.hparams.expand_beam)
-        self._greedy.update_params(self.params)
-        self._beam.update_params(self.params)
+        # multi-process eval decodes on local devices with host-gathered
+        # params (Brain._get_eval_params); single-process uses live params
+        self._greedy.update_params(self._get_eval_params())
+        self._beam.update_params(self._get_eval_params())
 
     def evaluate_batch_extra(self, batch, arrays, predictions, stage):
         if getattr(self.hparams, "plot_attentions", False) or \
@@ -552,6 +575,7 @@ class TSASRBrain(Brain):
     def _merge_distributed_metrics(self):
         """Cross-process WER/CER merge + dedup (reference
         ``train_librispeechmix_scratch.py:217-236``)."""
+        n_local = len(self.wer_metric.scores or [])
         gathered_cer = all_gather_object(self.cer_metric.scores)
         gathered_wer = all_gather_object(self.wer_metric.scores)
         self.cer_metric.scores = list(itertools.chain(*gathered_cer))
@@ -560,6 +584,11 @@ class TSASRBrain(Brain):
             {x["key"]: x for x in self.cer_metric.scores}.values())
         self.wer_metric.scores = list(
             {x["key"]: x for x in self.wer_metric.scores}.values())
+        if jax.process_count() > 1:
+            logger.info(
+                "metric merge: %d local -> %d merged utterances "
+                "(process %d/%d)", n_local, len(self.wer_metric.scores),
+                jax.process_index(), jax.process_count())
 
 
 # ======================================================== dataio plumbing
@@ -609,10 +638,25 @@ def dataio_prepare(hparams, tokenizer, variant="scratch"):
 
 
 def build_dataloader_kwargs(hparams, dataset, stage):
-    """Dynamic-batching loader kwargs (reference main :576-610); in
-    multi-host runs the batch sampler is sharded across processes
-    (the reference's DistributedSamplerWrapper for train AND eval,
-    ``core.py:862-865,938-944``)."""
+    """Dynamic-batching loader kwargs (reference main :576-610).
+
+    Multi-process data discipline (differs from the reference's
+    per-rank DDP sharding, ``core.py:862-865,938-944``, by design):
+
+    - TRAIN: every process iterates the SAME sampler and builds the
+      same *global* host batch; ``parallel.mesh.shard_batch`` lays it
+      out over the global device mesh, transferring only each process's
+      addressable shards. The 'data' mesh axis IS the data-parallel
+      sharding — splitting the sampler too would double-shard. SPMD
+      also requires every process to dispatch the identical program
+      (same global shapes every step), which per-rank dynamic batching
+      cannot guarantee without a per-step shape sync.
+    - VALID/TEST: decoding is embarrassingly parallel, so each process
+      evaluates a disjoint sampler shard on its LOCAL devices
+      (``DistributedSamplerWrapper``) and WER/CER merge + dedup via
+      ``all_gather_object`` (the reference recipe's
+      ``train_librispeechmix_scratch.py:217-236``).
+    """
     kwargs = {"num_workers": min(hparams.get("dataloader_workers", 0), 1),
               "pad_to_multiple": hparams.get("pad_to_multiple")}
     if hparams.get("dynamic_batching", True):
@@ -625,7 +669,7 @@ def build_dataloader_kwargs(hparams, dataset, stage):
                             if stage == "train" else "descending"),
             max_batch_ex=hparams["max_batch_size"])
         import jax
-        if jax.process_count() > 1:
+        if jax.process_count() > 1 and stage != "train":
             from tsasr_tpu.data import DistributedSamplerWrapper
             sampler = DistributedSamplerWrapper(
                 sampler, rank=jax.process_index(),
@@ -670,11 +714,18 @@ def run_experiment(variant, argv=None):
     for split in ("train", "valid", "test"):
         with open(hparams[f"{split}_json"], encoding="utf-8") as f:
             texts.extend(e["wrd"] for e in json.load(f).values())
-    tokenizer = train_tokenizer(
-        hparams["save_folder"], texts, vocab_size=hparams["vocab_size"],
+    tokenizer_kwargs = dict(
+        vocab_size=hparams["vocab_size"],
         model_type=hparams.get("token_type", "char"),
         character_coverage=hparams.get("character_coverage", 1.0),
         unk_id=hparams["blank_index"])
+    # main trains + saves; after the barrier everyone (re)loads the
+    # cached model — the reference wrapper's train-on-main contract
+    # (SentencePiece.py:279-393)
+    run_on_main(train_tokenizer, args=(hparams["save_folder"], texts),
+                kwargs=tokenizer_kwargs)
+    tokenizer = train_tokenizer(hparams["save_folder"], texts,
+                                **tokenizer_kwargs)
 
     train_data, valid_data, test_data = dataio_prepare(
         hparams, tokenizer, variant)
@@ -699,6 +750,17 @@ def run_experiment(variant, argv=None):
         hparams["model"] = TSTransducer(cfg16)
 
     mesh = _make_mesh_from_opts(run_opts)
+    if mesh is not None and "seq" in mesh.axis_names:
+        # seq parallelism shards post-frontend frames: bump the MXU
+        # frame-alignment pad so the encoder frame count divides the
+        # 'seq' axis (frontend subsamples by the stride product)
+        import math
+        cfg = hparams.get("model_config")
+        stride = int(np.prod(cfg.frontend_strides)) if cfg is not None \
+            else 4
+        need = stride * int(mesh.shape["seq"])
+        hparams["pad_feats_to"] = math.lcm(
+            int(hparams.get("pad_feats_to") or 1), need)
     brain = TSASRBrain(
         modules={"model": hparams["model"]},
         opt_class=hparams["opt_class"], hparams=hparams,
@@ -784,7 +846,9 @@ def _make_mesh_from_opts(run_opts):
     from tsasr_tpu.parallel.mesh import make_mesh
     n = len(jax.devices())
     tp = run_opts.get("tensor_parallel_count") or 1
+    sp = run_opts.get("sequence_parallel_count") or 1
+    pp = run_opts.get("pipeline_parallel_count") or 1
     dp = run_opts.get("data_parallel_count")
-    if dp is None and tp == 1 and n == 1:
+    if dp is None and tp == sp == pp == 1 and n == 1:
         return None
-    return make_mesh(dp=dp, tp=tp)
+    return make_mesh(dp=dp, tp=tp, sp=sp, pp=pp)

@@ -288,11 +288,41 @@ class Brain:
 
         return jax.jit(eval_step, static_argnums=(2,))
 
-    def _put_batch(self, arrays):
-        if self.mesh is not None:
+    def _put_batch(self, arrays, local=False):
+        """Host batch -> device arrays.
+
+        ``local=True`` (multi-process eval): keep the batch on this
+        process's local default device instead of the global mesh —
+        each process evaluates its own disjoint sampler shard
+        (``recipes/librispeechmix.py::build_dataloader_kwargs``).
+        """
+        if self.mesh is not None and not local:
             from tsasr_tpu.parallel.mesh import shard_batch
             return shard_batch(arrays, self.mesh)
         return {k: jnp.asarray(v) for k, v in arrays.items()}
+
+    def _local_eval(self):
+        """Multi-process eval is process-local (disjoint shards +
+        metric allgather); single-process eval may ride the mesh."""
+        return self.mesh is not None and jax.process_count() > 1
+
+    def _get_eval_params(self):
+        """Params for the eval/decode path.
+
+        Multi-process: global-mesh params cannot feed a process-local
+        jit, so gather them to host once per params version (the gather
+        is a COLLECTIVE for tp-sharded leaves — all processes enter
+        eval in lockstep, same batch counts via the padded
+        DistributedSamplerWrapper). Single-process: the live params.
+        """
+        if not self._local_eval():
+            return self.params
+        if getattr(self, "_eval_params_src", None) is not self.params:
+            from tsasr_tpu.training.checkpoints import gather_to_host
+            self._eval_params = jax.tree.map(
+                jnp.asarray, gather_to_host(self.params))
+            self._eval_params_src = self.params
+        return self._eval_params
 
     # =========================================================== fitting
     def fit_batch(self, batch):
@@ -461,6 +491,12 @@ class Brain:
             self.optimizer_step > 0 and \
             self.optimizer_step % self.ckpt_interval_steps == 0 and \
             (self.step % self.grad_accumulation_factor) == 0
+        if self.ckpt_interval_minutes and jax.process_count() > 1:
+            # wall clocks drift across processes; a one-sided entry into
+            # the collective save would deadlock — process 0 decides
+            from jax.experimental import multihost_utils
+            by_minutes = bool(multihost_utils.broadcast_one_to_all(
+                np.asarray(bool(by_minutes))))
         if by_minutes or by_steps:
             # only intra-epoch checkpoints compete for deletion — the
             # end-of-epoch keep-N-best set is untouchable (reference
@@ -491,13 +527,27 @@ class Brain:
             avg_loss = self._update_average(loss, avg_loss)
             if self.debug and self.step >= self.debug_batches:
                 break
+        avg_loss = self._merge_eval_loss(avg_loss, self.step)
         self.step = 0
         self.on_stage_end(Stage.VALID, avg_loss, epoch)
 
+    def _merge_eval_loss(self, avg_loss, n_batches):
+        """Cross-process batch-weighted mean of per-shard eval losses
+        (each process evaluates a disjoint sampler shard)."""
+        if jax.process_count() <= 1:
+            return avg_loss
+        from tsasr_tpu.parallel.distributed import all_gather_object
+        rows = all_gather_object([float(avg_loss), int(n_batches)])
+        total = sum(n for _, n in rows)
+        return (sum(loss * n for loss, n in rows) / total
+                if total else avg_loss)
+
     def evaluate_batch(self, batch, stage):
-        arrays = self._put_batch(self.batch_to_arrays(batch))
+        arrays = self._put_batch(self.batch_to_arrays(batch),
+                                 local=self._local_eval())
         loss, predictions = self._jit_eval_step(
-            self.params, arrays, 0 if stage == Stage.VALID else 1)
+            self._get_eval_params(), arrays,
+            0 if stage == Stage.VALID else 1)
         self.evaluate_batch_extra(batch, arrays, predictions, stage)
         return float(loss)
 
@@ -525,6 +575,7 @@ class Brain:
             avg_loss = self._update_average(loss, avg_loss)
             if self.debug and self.step >= self.debug_batches:
                 break
+        avg_loss = self._merge_eval_loss(avg_loss, self.step)
         self.step = 0
         self.on_stage_end(Stage.TEST, avg_loss, epoch=None)
         return avg_loss

@@ -49,6 +49,12 @@ RUN_OPT_FLAGS = [
                                "help": "devices on the data axis"}),
     ("--tensor_parallel_count", {"type": int, "default": None,
                                  "help": "devices on the model axis"}),
+    ("--sequence_parallel_count", {"type": int, "default": None,
+                                   "help": "devices on the seq (time) "
+                                   "axis — causal banded encoders"}),
+    ("--pipeline_parallel_count", {"type": int, "default": None,
+                                   "help": "devices on the pipe (layer) "
+                                   "axis — GPipe microbatching"}),
     ("--profile", {"action": "store_true", "default": None,
                    "help": "capture a jax profiler trace of training"}),
     ("--profile_dir", {"type": str, "default": None}),
@@ -56,7 +62,15 @@ RUN_OPT_FLAGS = [
 
 
 def parse_arguments(arg_list=None):
-    """Returns (hparams_file, run_opts dict, overrides yaml string)."""
+    """Returns (hparams_file, run_opts dict, overrides yaml string).
+
+    Also the distributed entry hook: when launched by
+    ``python -m tsasr_tpu.parallel.launch`` this joins the process group
+    before any JAX device is touched (every entry point calls
+    parse_arguments first), mirroring the reference's parse_arguments →
+    ddp_init_group ordering (``core.py:372-394``)."""
+    from tsasr_tpu.parallel.distributed import maybe_init_distributed
+    maybe_init_distributed()
     if arg_list is None:
         arg_list = sys.argv[1:]
     parser = argparse.ArgumentParser(description="tsasr_tpu experiment")
@@ -118,6 +132,15 @@ def create_experiment_directory(experiment_directory,
         sys.excepthook = _make_excepthook(log_file)
         logger.info("Beginning experiment!")
         logger.info("Experiment folder: %s", experiment_directory)
+    else:
+        # non-main workers log INFO to their own file (stderr stays
+        # quiet) so multi-process runs are debuggable per process —
+        # the reference names these log files by rank too
+        import jax
+        log_file = os.path.join(
+            experiment_directory, f"log_proc{jax.process_index()}.txt")
+        setup_logging(log_file)
+        logger.info("Worker process %d ready", jax.process_index())
     _enable_compilation_cache()
 
 

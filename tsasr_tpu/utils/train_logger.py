@@ -46,6 +46,13 @@ class FileTrainLogger(TrainLogger):
 
     def log_stats(self, stats_meta, train_stats=None, valid_stats=None,
                   test_stats=None, verbose=True):
+        # multi-process: stats are merged upstream (loss allgather-mean,
+        # WER/CER dedup) so every process holds the same line — only the
+        # main process appends it (reference train loggers run under
+        # run_on_main, core.py:1241)
+        from tsasr_tpu.parallel.distributed import if_main_process
+        if not if_main_process():
+            return
         summary = self._stats_to_string(stats_meta)
         for dataset, stats in [("train", train_stats),
                                ("valid", valid_stats),
