@@ -292,7 +292,10 @@ class CrossAttention(nn.Module):
 
     @nn.compact
     def __call__(self, query, key_value, key_padding_mask=None,
-                 deterministic=True):
+                 deterministic=True, attn_mask=None):
+        """``attn_mask``: optional (Tq, Tk) bool, True = disallowed
+        (e.g. ``ops.masks.lookahead_mask`` for causal self-attention —
+        pass ``key_value=query`` for self-attention use)."""
         B, Tq, D = query.shape
         H = self.num_heads
         Dh = D // H
@@ -310,6 +313,9 @@ class CrossAttention(nn.Module):
         if key_padding_mask is not None:
             scores = jnp.where(key_padding_mask[:, None, None, :],
                                ATTN_FILL, scores)
+        if attn_mask is not None:
+            scores = jnp.where(attn_mask[None, None, :, :], ATTN_FILL,
+                               scores)
         attn = nn.softmax(scores.astype(jnp.float32), axis=-1)
         attn = attn.astype(self.dtype)
         attn = Dropout(self.dropout, bits=self.dropout_bits,

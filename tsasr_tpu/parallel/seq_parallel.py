@@ -113,7 +113,13 @@ def _sp_forward(self, src, abs_len, speaker_embs, speaker_embs_length,
             "sequence parallelism needs a causal encoder with bounded "
             "attention context (causal=True, att_context_size > 0); "
             f"got causal={self.causal}, "
-            f"att_context_size={self.att_context_size}")
+            f"att_context_size={self.att_context_size}. This is a "
+            "documented scope decision (PARITY.md 'beyond parity': "
+            "non-causal full attention would need per-layer all-gathered "
+            "K/V — every activation over ICI every layer, which loses to "
+            "data parallelism + remat at the flagship's sequence "
+            "lengths). Use a causal banded config for the 'seq' axis, "
+            "or dp/tp/pp for offline full-attention models.")
     if halo is None:
         halo = required_halo(self.att_context_size, self.kernel_size)
     if src.ndim == 4:
