@@ -156,3 +156,44 @@ class TestInterface:
                                                   sample_rate=8000)
         est = sep.separate_batch(np.zeros((2, 800), np.float32))
         assert est.shape == (2, 800, 2)
+
+
+class TestRESepFormer:
+    """RE-SepFormer (C13 tail, round-4 verdict #9). Reference:
+    lobes/models/resepformer.py:448-719."""
+
+    def _build(self, mem_type="av"):
+        from tsasr_tpu.models.separation import RESepFormerSeparator
+        return RESepFormerSeparator(input_dim=16, num_spk=3,
+                                    num_blocks=2, segment_size=8,
+                                    nhead=4, d_ffn=32,
+                                    mem_type=mem_type)
+
+    def test_mask_shapes_and_range(self, rng):
+        model = self._build()
+        x = jnp.asarray(rng.normal(size=(2, 21, 16)), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), x)
+        masks = model.apply(params, x)
+        # T=21 is not a segment multiple: pad/slice must round-trip
+        assert masks.shape == (3, 2, 21, 16)
+        m = np.asarray(masks)
+        assert np.all(m >= 0) and np.all(np.isfinite(m))
+
+    def test_memory_pass_carries_cross_segment_info(self, rng):
+        """With 'av' memory, changing frames in segment 0 must reach
+        segment 1's output (via the summary transformer); with
+        mem_type=None the segments are independent."""
+        x = jnp.asarray(rng.normal(size=(1, 16, 16)), jnp.float32)
+        x2 = x.at[0, :8].add(1.0)
+
+        model = self._build("av")
+        params = model.init(jax.random.PRNGKey(0), x)
+        a = np.asarray(model.apply(params, x))[:, :, 8:]
+        b = np.asarray(model.apply(params, x2))[:, :, 8:]
+        assert not np.allclose(a, b)
+
+        model0 = self._build(None)
+        params0 = model0.init(jax.random.PRNGKey(0), x)
+        a0 = np.asarray(model0.apply(params0, x))[:, :, 8:]
+        b0 = np.asarray(model0.apply(params0, x2))[:, :, 8:]
+        np.testing.assert_allclose(a0, b0, atol=1e-6)

@@ -197,7 +197,13 @@ def _block_size(T, U1):
     end-to-end going 8 -> 32 at the production shape).
     """
     per_sample = 3 * T * U1 * 4
-    for bs in (64, 32, 16, 8, 4, 2, 1):
+    # Mosaic requires the (block, U1) tile's sublane dim to be a
+    # multiple of 8 (or equal to the padded batch) — blocks below 8 are
+    # not generally lowerable, so lattices too big for block=8 fall
+    # back to the XLA wavefront via pallas_applicable. Surfaced by the
+    # r4 realistic-length bench (16 s mixtures: T=408, U1=256 -> the
+    # old block=4 failed to lower).
+    for bs in (64, 32, 16, 8):
         if bs * per_sample <= _VMEM_BUDGET:
             return bs
     return 0
