@@ -469,3 +469,32 @@ class TestAugmentHparams:
                 batch, Stage.TRAIN, jax.random.PRNGKey(0))
             outs.append(np.asarray(feats))
         assert not np.allclose(outs[0], outs[1])
+
+
+class TestLoggingSetup:
+    def test_noisy_third_party_loggers_clamped(self, tmp_path):
+        """setup_logging must not let jax's own NOTSET stderr handler
+        emit per-dispatch DEBUG spam once the root level is DEBUG
+        (measured: 57 MB log.txt per north-star run before the clamp)."""
+        import logging
+
+        from tsasr_tpu.utils.logger import setup_logging
+
+        root = logging.getLogger()
+        old_handlers, old_level = root.handlers[:], root.level
+        try:
+            root.handlers = []
+            setup_logging(str(tmp_path / "log.txt"))
+            assert root.level == logging.DEBUG
+            assert logging.getLogger("jax").level == logging.INFO
+            # a child such as jax._src.dispatch inherits the clamp
+            assert not logging.getLogger(
+                "jax._src.dispatch").isEnabledFor(logging.DEBUG)
+            # our own tree still records DEBUG to the file
+            logging.getLogger("tsasr_tpu.test").debug("kept")
+            for h in root.handlers:
+                h.flush()
+            assert "kept" in (tmp_path / "log.txt").read_text()
+        finally:
+            root.handlers = old_handlers
+            root.setLevel(old_level)

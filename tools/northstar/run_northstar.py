@@ -49,6 +49,12 @@ COMMON_OVERRIDES = [
     "--joint_dim", "128", "--dropout", "0.1", "--augment", "True",
     "--grad_accumulation_factor", "1", "--beam_size", "5",
     "--gain_nontarget", "-30",
+    # Static batching on BOTH sides: the two frameworks' dynamic batch
+    # samplers pack differently (103 vs 78 steps/epoch on the same 440
+    # utterances), which desynchronizes the Noam lr trace and confounds
+    # any per-epoch loss comparison. With a fixed batch size the step
+    # count — and therefore the lr at every step — is identical.
+    "--dynamic_batching", "False", "--train_batch_size", "8",
 ]
 
 

@@ -24,6 +24,15 @@ def setup_logging(log_file=None, console_level=logging.INFO,
     """Root-logger setup: console + optional debug file."""
     root = logging.getLogger()
     root.setLevel(logging.DEBUG)
+    # Raising the root level to DEBUG makes third-party loggers with
+    # their own NOTSET handlers (jax attaches a stderr StreamHandler)
+    # emit every per-dispatch DEBUG record — tens of MB per run and a
+    # measurable per-step host cost on small hosts. Keep DEBUG for our
+    # own tree, clamp the known-noisy libraries to INFO (the reference
+    # achieves the same selectivity via log-config.yaml limiting
+    # handlers to speechbrain loggers).
+    for noisy in ("jax", "jaxlib", "absl", "numba", "matplotlib"):
+        logging.getLogger(noisy).setLevel(logging.INFO)
     fmt = logging.Formatter("%(asctime)s - %(name)s - %(levelname)s - "
                             "%(message)s")
     console = logging.StreamHandler()
