@@ -73,8 +73,8 @@ class _FFN(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic):
-        act = {"relu": nn.relu, "gelu": nn.gelu,
-               "swish": nn.swish}[self.activation]
+        act = {"relu": nn.relu, "gelu": nn.gelu, "swish": nn.swish,
+               "leaky_relu": nn.leaky_relu}[self.activation]
         h = nn.Dense(self.d_ffn, dtype=self.dtype, name="ffn_in")(x)
         h = Dropout(self.dropout, deterministic=deterministic)(act(h))
         return nn.Dense(self.d_model, dtype=self.dtype, name="ffn_out")(h)
@@ -311,3 +311,201 @@ class TransformerLM(nn.Module):
                 name=f"layer_{i}")(x, kp, causal, deterministic)
         x = nn.LayerNorm(epsilon=1e-6, dtype=c.dtype, name="norm")(x)
         return nn.Dense(c.vocab, dtype=c.dtype, name="head")(x)
+
+
+@dataclass(frozen=True)
+class CNNTransformerSEConfig:
+    """Reference ``CNNTransformerSE`` constructor surface
+    (transformer/TransformerSE.py:50-78): encoder-only Transformer that
+    maps (B, T, d_model)-shaped features to an (B, T, output_size) mask
+    or spectrum for speech enhancement."""
+
+    d_model: int
+    output_size: int
+    output_activation: str = "relu"       # applied to the output layer
+    nhead: int = 8
+    num_layers: int = 8
+    d_ffn: int = 512
+    dropout: float = 0.1
+    activation: str = "leaky_relu"        # FFN activation
+    causal: bool = True                   # SE default IS causal (:62)
+    normalize_before: bool = False
+    dtype: Any = jnp.float32
+
+
+class CNNTransformerSE(nn.Module):
+    """Transformer speech-enhancement lobe (reference
+    ``lobes/models/transformer/TransformerSE.py:15-100``).
+
+    TPU-first notes: the reference builds the lookahead mask per call in
+    Python (:82-85) and mutates ``self.attn_mask``; here the mask is a
+    trace-time constant so the whole forward jits to one program. The
+    optional CNN pre-encoder (``custom_emb_module``, :60-61) is a flax
+    submodule field, so any (B, T, F) -> (B, T, d_model) module slots
+    in — e.g. this repo's ``models.frontend.ConvolutionFrontEnd``.
+    """
+
+    config: CNNTransformerSEConfig
+    custom_emb_module: Any = None
+
+    @nn.compact
+    def __call__(self, x, wav_len=None, deterministic=True):
+        """(B, T, F) [or (B, T, d_model) when no pre-encoder] ->
+        (B, T, output_size); ``wav_len`` is relative lengths in [0, 1]
+        (the repo-wide convention; the reference takes a precomputed
+        ``src_key_padding_mask`` instead, :80)."""
+        c = self.config
+        if self.custom_emb_module is not None:
+            x = self.custom_emb_module(x)
+        kp = None
+        if wav_len is not None:
+            abs_len = jnp.round(wav_len * x.shape[1]).astype(jnp.int32)
+            kp = ~length_to_mask(abs_len, x.shape[1])
+        attn_mask = lookahead_mask(x.shape[1]) if c.causal else None
+        for i in range(c.num_layers):
+            x = TransformerEncoderLayer(
+                d_model=c.d_model, nhead=c.nhead, d_ffn=c.d_ffn,
+                dropout=c.dropout, activation=c.activation,
+                normalize_before=c.normalize_before, dtype=c.dtype,
+                name=f"enc_layer_{i}")(x, kp, attn_mask, deterministic)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=c.dtype, name="enc_norm")(x)
+        out = nn.Dense(c.output_size, use_bias=False, dtype=c.dtype,
+                       name="output_layer")(x)
+        act = {"relu": nn.relu, "sigmoid": nn.sigmoid,
+               "none": lambda v: v}[c.output_activation]
+        return act(out)
+
+
+@dataclass(frozen=True)
+class TransformerSTConfig(TransformerASRConfig):
+    """Reference ``TransformerST`` constructor tail
+    (transformer/TransformerST.py:104-147): the ASR config plus the
+    multi-task speech-translation weights/vocabs."""
+
+    ctc_weight: float = 0.0
+    asr_weight: float = 0.0
+    mt_weight: float = 0.0
+    asr_tgt_vocab: int = 0
+    mt_src_vocab: int = 0
+
+
+class TransformerST(TransformerASR):
+    """Speech-translation Transformer (reference
+    ``lobes/models/transformer/TransformerST.py:28-343``): the ASR
+    encoder/decoder plus (a) an auxiliary ASR decoder over the shared
+    speech encoder (``forward_asr``, :205-250) and (b) an auxiliary MT
+    branch with its own source embedding and text encoder feeding the
+    shared translation decoder (``forward_mt``, :252-304).
+
+    TPU-first: every branch is a pure function of the params with
+    static shapes; the multi-task loss weighting (ctc/asr/mt) stays in
+    the recipe, exactly as in the reference.
+    """
+
+    def setup(self):
+        super().setup()
+        c = self.config
+        if c.ctc_weight < 1 and c.asr_weight > 0:
+            self.asr_tgt_emb = NormalizedEmbedding(
+                c.asr_tgt_vocab, c.d_model, dtype=c.dtype,
+                name="asr_tgt_emb")
+            # always a regular-attention causal Transformer decoder
+            # (reference :159 — "always use regular attention")
+            self.asr_decoder_layers = [
+                TransformerDecoderLayer(
+                    d_model=c.d_model, nhead=c.nhead, d_ffn=c.d_ffn,
+                    dropout=c.dropout, activation=c.activation,
+                    normalize_before=c.normalize_before, dtype=c.dtype,
+                    name=f"asr_dec_layer_{i}")
+                for i in range(c.num_decoder_layers)]
+            self.asr_decoder_norm = nn.LayerNorm(
+                epsilon=1e-6, dtype=c.dtype, name="asr_dec_norm")
+        if c.mt_weight > 0:
+            self.mt_src_emb = NormalizedEmbedding(
+                c.mt_src_vocab, c.d_model, dtype=c.dtype,
+                name="mt_src_emb")
+            self.mt_encoder_layers = [
+                TransformerEncoderLayer(
+                    d_model=c.d_model, nhead=c.nhead, d_ffn=c.d_ffn,
+                    dropout=c.dropout, activation=c.activation,
+                    normalize_before=c.normalize_before, dtype=c.dtype,
+                    name=f"mt_enc_layer_{i}")
+                for i in range(c.num_encoder_layers)]
+            self.mt_encoder_norm = nn.LayerNorm(
+                epsilon=1e-6, dtype=c.dtype, name="mt_enc_norm")
+
+    def init_all(self, src, tgt, asr_tgt=None, mt_src=None,
+                 wav_len=None, pad_idx=0):
+        """Initialization entry that touches every enabled branch —
+        flax only materializes parameters for submodules that are
+        actually called, whereas the reference allocates them in
+        ``__init__`` (:148-165). Use
+        ``model.init(rng, ..., method=model.init_all)``."""
+        c = self.config
+        enc_out, dec_out = self(src, tgt, wav_len, pad_idx)
+        if c.ctc_weight < 1 and c.asr_weight > 0:
+            if asr_tgt is None:
+                asr_tgt = jnp.zeros_like(tgt)
+            self.forward_asr(enc_out, asr_tgt, wav_len, pad_idx)
+        if c.mt_weight > 0:
+            if mt_src is None:
+                mt_src = jnp.zeros_like(tgt)
+            self.forward_mt(mt_src, tgt, pad_idx)
+        return enc_out, dec_out
+
+    def forward_asr(self, encoder_out, tgt, enc_len=None, pad_idx=0,
+                    deterministic=True):
+        """Auxiliary ASR decoding step over the shared speech encoder
+        output (reference ``forward_asr``, :205-250): tgt (B, U) int
+        transcription tokens -> (B, U, d_model)."""
+        c = self.config
+        kp_tgt = tgt == pad_idx
+        kp_mem = None
+        if enc_len is not None:
+            abs_len = jnp.round(
+                enc_len * encoder_out.shape[1]).astype(jnp.int32)
+            kp_mem = ~length_to_mask(abs_len, encoder_out.shape[1])
+        x = self.asr_tgt_emb(tgt)
+        x = x + sinusoidal_positional_encoding(
+            x.shape[1], c.d_model, c.dtype)[None]
+        for layer in self.asr_decoder_layers:
+            x = layer(x, encoder_out, kp_tgt, kp_mem, deterministic)
+        return self.asr_decoder_norm(x)
+
+    def forward_mt(self, src, tgt, pad_idx=0, deterministic=True):
+        """Auxiliary MT step (reference ``forward_mt``, :252-304):
+        src (B, S) int source-text tokens, tgt (B, U) int translation
+        tokens -> (enc_out (B, S, d), dec_out (B, U, d)). The text
+        encoder is this lobe's own; the decoder is the SHARED
+        translation decoder (reference :295-302)."""
+        c = self.config
+        kp_src = src == pad_idx
+        x = self.mt_src_emb(src)
+        x = x + sinusoidal_positional_encoding(
+            x.shape[1], c.d_model, c.dtype)[None]
+        for layer in self.mt_encoder_layers:
+            x = layer(x, kp_src, None, deterministic)
+        enc_out = self.mt_encoder_norm(x)
+
+        kp_tgt = tgt == pad_idx
+        y = self.tgt_emb(tgt)
+        y = y + sinusoidal_positional_encoding(
+            y.shape[1], c.d_model, c.dtype)[None]
+        for layer in self.decoder_layers:
+            y = layer(y, enc_out, kp_tgt, kp_src, deterministic)
+        return enc_out, self.decoder_norm(y)
+
+    def forward_mt_decoder_only(self, src, tgt, pad_idx=0,
+                                deterministic=True):
+        """MT step against precomputed encoder features (reference
+        ``forward_mt_decoder_only``, :306-343 — the wav2vec-encoder
+        variant): src (B, S, d_model) float memory, tgt (B, U) int
+        tokens -> (B, U, d_model)."""
+        c = self.config
+        kp_tgt = tgt == pad_idx
+        y = self.tgt_emb(tgt)
+        y = y + sinusoidal_positional_encoding(
+            y.shape[1], c.d_model, c.dtype)[None]
+        for layer in self.decoder_layers:
+            y = layer(y, src, kp_tgt, None, deterministic)
+        return self.decoder_norm(y)
