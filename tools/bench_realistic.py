@@ -150,8 +150,23 @@ def main():
     steps_per_call = int(os.environ.get("BENCH_STEPS_PER_CALL", "4"))
     n_calls = 3
     rows = []
-    rng = np.random.default_rng(0)
+    # Per-bucket row cache: a TPU-worker crash/restart mid-sweep (seen
+    # once on the tunneled axon backend) only loses the in-flight
+    # bucket; a rerun skips completed buckets.
+    rows_cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "reports",
+        "bench_realistic_rows.json")
+    done = {}
+    if os.path.exists(rows_cache):
+        with open(rows_cache) as f:
+            done = {r["bucket_s"]: r for r in json.load(f)}
     for mix_sec in bucket_edges:
+        if mix_sec in done:
+            rows.append(done[mix_sec])
+            print(json.dumps(done[mix_sec]) + "  # cached",
+                  file=sys.stderr, flush=True)
+            continue
+        rng = np.random.default_rng(mix_sec)
         B = max(8, int(AUDIO_BUDGET_S / mix_sec) // 8 * 8)
         U = int(CHARS_PER_MIX_SEC * mix_sec)
         tx, train_step = make_step(B, mix_sec, U)
@@ -210,6 +225,10 @@ def main():
             "compile_s": round(compile_s, 1),
         }
         rows.append(row)
+        done[mix_sec] = row
+        with open(rows_cache, "w") as f:
+            json.dump([done[b] for b in bucket_edges if b in done], f,
+                      indent=2)
         print(json.dumps(row), file=sys.stderr, flush=True)
 
     # distribution-weighted aggregate: time to process one "average"
