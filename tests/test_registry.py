@@ -29,13 +29,24 @@ class MarkedJoiner(Joiner):
     """Dotted-path-swappable joiner."""
 
 
+# Host the dotted-path target in a synthetic sys.modules entry:
+# ``import tests.test_registry`` is NOT reliable inside the full suite
+# (test_reference_parity puts /root/reference on sys.path, whose own
+# ``tests`` package then shadows this repo's in sys.modules), and
+# resolve()'s importlib.import_module consults sys.modules first, so
+# this exercises the exact same dotted-path code path hermetically.
+import sys
+import types
+
+_mod = types.ModuleType("tsasr_registry_test_mod")
+_mod.MarkedJoiner = MarkedJoiner
+sys.modules["tsasr_registry_test_mod"] = _mod
+DOTTED_JOINER = "tsasr_registry_test_mod.MarkedJoiner"
+
+
 def test_resolve_registry_name_and_dotted_path():
     assert resolve("encoder", "test_marked_conformer") is MarkedEncoder
-    # a dotted path may re-import the module (fresh module object),
-    # so compare by name
-    assert resolve(
-        "joiner",
-        "tests.test_registry.MarkedJoiner").__name__ == "MarkedJoiner"
+    assert resolve("joiner", DOTTED_JOINER) is MarkedJoiner
     assert resolve("encoder", None) is None
     assert "test_marked_conformer" in available("encoder")
 
@@ -50,7 +61,7 @@ def test_yaml_override_swaps_encoder_class():
     encoder inside TSTransducer; the model still initializes and runs."""
     from tsasr_tpu.utils.hparams import load_hyperpyyaml
     overrides = ("encoder_class: test_marked_conformer\n"
-                 "joiner_class: tests.test_registry.MarkedJoiner\n"
+                 f"joiner_class: {DOTTED_JOINER}\n"
                  "encoder_num_layers: 1\nd_model: 32\nnhead: 4\n"
                  "d_ffn: 64\ndecoder_neurons: 16\njoint_dim: 32\n"
                  "vocab_size: 29\ndata_folder: /tmp\n"
