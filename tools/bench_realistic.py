@@ -102,7 +102,14 @@ def main():
 
     sr = 16000
     enr_sec = 5
+    # BENCH_FUSED_ATTN=1: fused Pallas rel-pos attention. Lost by 5% at
+    # the headline T=104 (perf_r3.md §4c: XLA's (B,H,T,2T-1) rel-shift
+    # materialization is too small to beat at short T); the long
+    # realistic buckets (T up to ~830) are where that tensor grows
+    # quadratically, so the crossover question is re-asked here.
+    fused_attn = os.environ.get("BENCH_FUSED_ATTN", "0") != "0"
     cfg = TSTransducerConfig(injection_mode="cat", dropout_bits=8,
+                             fused_attention=fused_attn,
                              dtype=jnp.bfloat16)
     model = TSTransducer(cfg)
     fbank = Fbank(sample_rate=sr, n_fft=512, n_mels=80, win_length=32.0)
@@ -153,9 +160,10 @@ def main():
     # Per-bucket row cache: a TPU-worker crash/restart mid-sweep (seen
     # once on the tunneled axon backend) only loses the in-flight
     # bucket; a rerun skips completed buckets.
+    variant = "_fused_attn" if fused_attn else ""
     rows_cache = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "reports",
-        "bench_realistic_rows.json")
+        f"bench_realistic_rows{variant}.json")
     done = {}
     if os.path.exists(rows_cache):
         with open(rows_cache) as f:
@@ -241,6 +249,7 @@ def main():
 
     result = {
         "metric": "realistic_distribution_train_throughput",
+        "fused_attention": fused_attn,
         "value": round(agg_audio_rate, 1),
         "unit": "audio_sec/s/chip",
         "samples_per_sec_per_chip": round(agg_samples, 2),
@@ -256,7 +265,7 @@ def main():
     }
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "reports",
-        "bench_realistic_r4.json")
+        f"bench_realistic_r4{variant}.json")
     with open(out, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
