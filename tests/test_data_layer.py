@@ -504,6 +504,57 @@ class TestLoader:
         ids = [i for b in loader for i in b.id]
         assert ids == [f"u{i}" for i in range(10)]
 
+    def test_process_workers_match_serial(self):
+        """Forked item-eval workers must yield the bit-identical batch
+        stream (order AND values) of the serial loader."""
+        serial = list(SaveableDataLoader(self.make_ds(), batch_size=3))
+        proc = list(SaveableDataLoader(self.make_ds(), batch_size=3,
+                                       num_workers=2,
+                                       worker_mode="process"))
+        assert len(proc) == len(serial)
+        for a, b in zip(serial, proc):
+            assert a.id == b.id
+            np.testing.assert_array_equal(a.x.data, b.x.data)
+
+    def test_process_workers_midepoch_resume(self):
+        loader = SaveableDataLoader(self.make_ds(), batch_size=2,
+                                    num_workers=2,
+                                    worker_mode="process")
+        it = iter(loader)
+        next(it)
+        next(it)
+        state = loader.save_position()
+        it.close()  # stop the in-flight epoch (terminates workers)
+        loader2 = SaveableDataLoader(self.make_ds(), batch_size=2,
+                                     num_workers=2,
+                                     worker_mode="process")
+        loader2.load_position(state, end_of_epoch=False)
+        remaining = [b.id for b in loader2]
+        assert remaining[0] == ["u4", "u5"]
+        assert len(remaining) == 3
+
+    def test_process_workers_propagate_exceptions(self):
+        data = {f"u{i}": {"x": np.full(3, i, np.float32)}
+                for i in range(6)}
+        ds = DynamicItemDataset(data)
+
+        def boom(x):
+            if float(x[0]) == 4.0:
+                raise ValueError("bad utterance")
+            return x
+
+        ds.add_dynamic_item(boom, takes=["x"], provides=["y"])
+        ds.set_output_keys(["id", "y"])
+        loader = SaveableDataLoader(ds, batch_size=2, num_workers=2,
+                                    worker_mode="process")
+        with pytest.raises((ValueError, RuntimeError),
+                           match="bad utterance"):
+            list(loader)
+
+    def test_worker_mode_validated(self):
+        with pytest.raises(ValueError, match="worker_mode"):
+            SaveableDataLoader(self.make_ds(), worker_mode="fiber")
+
 
 def test_bpe_duplicate_merge_strings_keep_bijection():
     """Two merge pairs producing the same string ('ab'+'c' and 'a'+'bc')

@@ -47,6 +47,16 @@ def main():
                          "'0,1,2,4': measure each and print one JSON "
                          "row per value (round-4 verdict item 7 — host "
                          "pipeline scaling vs worker count)")
+    ap.add_argument("--worker_mode", default="thread",
+                    choices=["thread", "process"],
+                    help="loader worker mode for the sweep (process = "
+                         "forked item-evaluation workers)")
+    ap.add_argument("--split_timing", action="store_true",
+                    help="measure item evaluation (decode+mix+tokenize; "
+                         "per-utterance, process-parallelizable) "
+                         "separately from PaddedBatch collation (the "
+                         "serial tail), and print a measured Amdahl "
+                         "extrapolation to multi-core hosts")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -94,7 +104,9 @@ def main():
     kwargs = build_dataloader_kwargs(hparams, train_data, "train")
 
     def measure(num_workers):
-        kw = dict(kwargs, num_workers=num_workers)
+        kw = dict(kwargs, num_workers=num_workers,
+                  worker_mode=(args.worker_mode if num_workers else
+                               "thread"))
         loader = SaveableDataLoader(train_data, **kw)
         start = time.perf_counter()
         audio_sec = 0.0
@@ -113,6 +125,7 @@ def main():
         elapsed = time.perf_counter() - start
         result = {
             "num_workers": num_workers,
+            "worker_mode": kw["worker_mode"],
             "host_audio_sec_per_sec": round(audio_sec / elapsed, 2),
             "host_samples_per_sec": round(n_samples / elapsed, 2),
             "batches": n_batches,
@@ -125,7 +138,71 @@ def main():
                 audio_sec / elapsed / device_audio_rate, 3)
         return result
 
-    if args.workers_sweep:
+    def measure_split():
+        """Amdahl split (round-4 verdict item 7): this host has ONE
+        core, so multi-core scaling cannot be measured directly — but
+        its two ingredients can. Item evaluation (FLAC decode + mixture
+        synthesis + tokenization) is per-utterance and scales with
+        process workers; PaddedBatch collation consumes every item in
+        batch order and is the serial tail. Measuring each per
+        audio-second gives the scaling model
+            rate(C) = 1 / (t_item / C + t_collate)   [audio-s/s]
+        with NO free parameters."""
+        loader = SaveableDataLoader(train_data, **dict(kwargs,
+                                                       num_workers=0))
+        batches = []
+        deadline = time.perf_counter() + args.seconds
+        for indices in loader._batch_indices():
+            batches.append(list(indices))
+            if time.perf_counter() >= deadline:
+                break
+
+        # item evaluation only
+        start = time.perf_counter()
+        audio_sec = 0.0
+        items_by_batch = []
+        sr = hparams["sample_rate"]
+        deadline = start + args.seconds
+        for indices in batches:
+            items = [train_data[i] for i in indices]
+            items_by_batch.append(items)
+            audio_sec += sum(len(it["mixed_sig"]) for it in items) / sr
+            if time.perf_counter() >= deadline:
+                break
+        t_item = (time.perf_counter() - start) / audio_sec
+
+        # collation only (pre-evaluated items)
+        start = time.perf_counter()
+        audio_sec = 0.0
+        reps = 0
+        while time.perf_counter() - start < args.seconds / 2:
+            for items in items_by_batch:
+                loader.collate_fn(items)
+                audio_sec += sum(len(it["mixed_sig"])
+                                 for it in items) / sr
+            reps += 1
+        t_collate = (time.perf_counter() - start) / audio_sec
+
+        result = {
+            "t_item_us_per_audio_sec": round(t_item * 1e6, 2),
+            "t_collate_us_per_audio_sec": round(t_collate * 1e6, 2),
+            "serial_fraction": round(t_collate / (t_item + t_collate),
+                                     4),
+            "model": "rate(C) = 1/(t_item/C + t_collate) audio-s/s "
+                     "(process workers evaluate items; collation "
+                     "stays serial)",
+        }
+        for cores in (1, 2, 4, 8, 14, 28):
+            rate = 1.0 / (t_item / cores + t_collate)
+            result[f"audio_sec_per_sec_at_{cores}_cores"] = round(rate,
+                                                                  1)
+            result[f"saturation_device_samples_per_sec_at_"
+                   f"{cores}_cores"] = round(rate / args.mix_sec, 1)
+        return result
+
+    if args.split_timing:
+        print(json.dumps(measure_split()))
+    elif args.workers_sweep:
         for w in (int(x) for x in args.workers_sweep.split(",")):
             print(json.dumps(measure(w)))
     else:

@@ -13,8 +13,23 @@ Equivalent of the reference's loading stack
 Prefetch runs on a background thread (decode + mixing are
 numpy/IO-dominated and overlap well with device steps); the batch queue
 is bounded to keep host memory flat.
+
+``worker_mode="process"`` instead forks ``num_workers`` OS processes
+that evaluate dataset items (decode + mixture synthesis + tokenize —
+the per-utterance, numpy-only work) while the parent collates — the
+TPU-host equivalent of torch DataLoader's worker processes
+(``vendor/speechbrain/speechbrain/dataio/dataloader.py`` inherits
+them). Batch n is always evaluated by worker ``n % num_workers`` and
+reassembled in order, so the batch stream is bit-identical to the
+serial loader and ``save_position`` / mid-epoch resume semantics are
+unchanged. The measured scaling model (``tools/probe_input_pipeline.py
+--split_timing``) is rate(C) = 1/(t_item/C + t_collate): item
+evaluation parallelizes across cores, collation stays in the parent.
+Fork-safety: workers must never touch JAX; the item pipeline is
+numpy-only by construction (``data/{mixing,dataio,audio}.py``).
 """
 
+import multiprocessing
 import queue
 import threading
 
@@ -26,7 +41,12 @@ class SaveableDataLoader:
 
     def __init__(self, dataset, batch_size=1, batch_sampler=None,
                  sampler=None, collate_fn=None, drop_last=False,
-                 num_workers=0, prefetch=2, pad_to_multiple=None):
+                 num_workers=0, prefetch=2, pad_to_multiple=None,
+                 worker_mode="thread"):
+        if worker_mode not in ("thread", "process"):
+            raise ValueError(
+                f"worker_mode must be 'thread' or 'process', "
+                f"got {worker_mode!r}")
         self.dataset = dataset
         self.collate_fn = collate_fn or (
             lambda ex: PaddedBatch(ex, pad_to_multiple=pad_to_multiple))
@@ -35,6 +55,7 @@ class SaveableDataLoader:
         self.batch_size = batch_size
         self.drop_last = drop_last
         self.num_workers = num_workers
+        self.worker_mode = worker_mode
         self.prefetch = max(1, prefetch)
         self._speechbrain_recovery_skip_to = None
         self._num_batches_yielded = 0
@@ -79,7 +100,9 @@ class SaveableDataLoader:
                     continue
                 yield self._make_batch(indices)
 
-        if self.num_workers > 0:
+        if self.num_workers > 0 and self.worker_mode == "process":
+            iterator = self._process_iter(skip)
+        elif self.num_workers > 0:
             iterator = _prefetch_iter(gen(), self.prefetch)
         else:
             iterator = gen()
@@ -87,6 +110,61 @@ class SaveableDataLoader:
             self._num_batches_yielded += 1
             yield batch
         self._num_batches_yielded = 0
+
+    def _process_iter(self, skip):
+        """Fork ``num_workers`` item-evaluation processes; collate in
+        the parent. Deterministic: batch n is evaluated by worker
+        ``n % W`` and consumed in order, so the stream equals the
+        serial loader's exactly (resume counts stay valid)."""
+        ctx = multiprocessing.get_context("fork")
+        batches = [list(ix) for ix in self._batch_indices()]
+        W = min(self.num_workers, max(1, len(batches) - skip))
+        out_qs = [ctx.Queue(maxsize=self.prefetch) for _ in range(W)]
+        procs = [
+            ctx.Process(
+                target=_item_worker,
+                args=(self.dataset, batches, skip, wid, W, out_qs[wid]),
+                daemon=True)
+            for wid in range(W)
+        ]
+        for p in procs:
+            p.start()
+        try:
+            for n in range(skip, len(batches)):
+                wid = (n - skip) % W
+                waited = 0.0
+                while True:
+                    try:
+                        got_n, payload = out_qs[wid].get(timeout=5.0)
+                        break
+                    except queue.Empty:
+                        if not procs[wid].is_alive():
+                            raise RuntimeError(
+                                f"loader worker {wid} died "
+                                f"(exitcode {procs[wid].exitcode})")
+                        waited += 5.0
+                        if waited >= 600.0:
+                            # forked children of a multithreaded parent
+                            # can (rarely) deadlock on inherited locks;
+                            # fail loudly instead of hanging training
+                            raise RuntimeError(
+                                f"loader worker {wid} produced nothing "
+                                f"for {waited:.0f}s (batch {n}) — "
+                                "likely a fork deadlock; restart with "
+                                "worker_mode='thread' or num_workers=0")
+                if isinstance(payload, BaseException):
+                    raise payload
+                if got_n != n:  # pragma: no cover - internal invariant
+                    raise RuntimeError(
+                        f"loader worker {wid} returned batch {got_n}, "
+                        f"expected {n}")
+                yield self.collate_fn(payload)
+        finally:
+            for p in procs:
+                if p.is_alive():
+                    p.terminate()
+            for p in procs:
+                p.join(timeout=5.0)
 
     # --------------------------------------------------------- checkpoint
     def save_position(self):
@@ -102,6 +180,21 @@ class SaveableDataLoader:
         for s in (self.batch_sampler, self.sampler):
             if s is not None and hasattr(s, "set_epoch"):
                 s.set_epoch(epoch)
+
+
+def _item_worker(dataset, batches, skip, wid, W, out_q):
+    """Process-worker loop: evaluate this worker's share of batches
+    (every W-th starting at skip+wid) and ship the item dicts to the
+    parent. Must never touch JAX (forked child)."""
+    try:
+        for n in range(skip + wid, len(batches), W):
+            out_q.put((n, [dataset[i] for i in batches[n]]))
+    except BaseException as e:  # propagate into the parent's iterator
+        try:
+            out_q.put((-1, e))
+        except Exception:  # unpicklable exception: keep the message
+            out_q.put((-1, RuntimeError(
+                f"{type(e).__name__}: {e} (in loader worker {wid})")))
 
 
 def _prefetch_iter(source, depth):

@@ -657,7 +657,14 @@ def build_dataloader_kwargs(hparams, dataset, stage):
       ``all_gather_object`` (the reference recipe's
       ``train_librispeechmix_scratch.py:217-236``).
     """
-    kwargs = {"num_workers": min(hparams.get("dataloader_workers", 0), 1),
+    worker_mode = hparams.get("dataloader_worker_mode", "thread")
+    workers = hparams.get("dataloader_workers", 0)
+    if worker_mode == "thread":
+        # >1 prefetch thread only adds GIL contention (measured:
+        # reports/probe_workers_sweep_r4.jsonl); real core scaling
+        # needs worker_mode: process
+        workers = min(workers, 1)
+    kwargs = {"num_workers": workers, "worker_mode": worker_mode,
               "pad_to_multiple": hparams.get("pad_to_multiple")}
     if hparams.get("dynamic_batching", True):
         sampler = DynamicBatchSampler(
