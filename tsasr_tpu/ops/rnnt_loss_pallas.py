@@ -27,8 +27,12 @@ overwriting the blank/label prob buffers in place
 (``input_output_aliases``) so VMEM holds only 3 lattices.
 
 The kernel processes a block of batch elements per grid step (sublane
-dimension), sized so the lattices fit VMEM; oversized problems fall back
-to the XLA wavefront scan in ``tsasr_tpu.ops.rnnt_loss``.
+dimension), sized so the lattices fit VMEM. Lattices too large to be
+VMEM-resident (long-utterance training: the r4 realistic-length bench's
+16 s+ buckets) run a two-pass T-slab STREAMING variant instead — alpha
+forward with the row carry in VMEM scratch and the alpha lattice spilled
+to HBM, then beta+grads with the T-slabs streamed in reverse — so any T
+runs at kernel speed and the XLA wavefront is only the non-TPU fallback.
 """
 
 import functools
@@ -188,6 +192,128 @@ def _rnnt_kernel(t_lens_ref, u_lens_ref, lpb_ref, lpl_ref, loss_ref,
     jax.lax.fori_loop(0, T, beta_row, jnp.full((block, U1), NEG))
 
 
+def _rnnt_alpha_slab_kernel(t_lens_ref, u_lens_ref, lpb_ref, lpl_ref,
+                            logz_ref, alpha_ref, carry_ref, prevlpb_ref,
+                            zacc_ref, *, slab, U1, block):
+    """Streaming alpha pass: grid (batch-block i, T-slab j), the lattice
+    streamed from HBM one (slab, block, U1) tile at a time.
+
+    TPU Pallas executes the grid sequentially in lexicographic order, so
+    for a fixed batch block the T-slabs arrive in order and the row
+    recurrence carries across slabs in VMEM scratch (``carry_ref`` = last
+    alpha row, ``prevlpb_ref`` = last blank-prob row, ``zacc_ref`` = the
+    running logZ captured at t == Tl-1). Same row math as
+    ``_rnnt_kernel`` phase 1; this variant exists for lattices whose
+    full (T, U1) extent overflows VMEM (long-utterance training — see
+    ``_slab_geometry``).
+    """
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (block, U1), 1)
+    Tl = jnp.stack([t_lens_ref[i * block + b]
+                    for b in range(block)]).reshape(block, 1)
+    Ul = jnp.stack([u_lens_ref[i * block + b]
+                    for b in range(block)]).reshape(block, 1)
+
+    @pl.when(j == 0)
+    def _init():
+        carry_ref[:] = jnp.full((block, U1), NEG)
+        prevlpb_ref[:] = jnp.full((block, U1), NEG)
+        zacc_ref[:] = jnp.full((block, 1), NEG)
+
+    def alpha_row(r, carry):
+        prev_row, logz = carry
+        t = j * slab + r
+        rm1 = jnp.maximum(r - 1, 0)
+        lpb_prev = jnp.where(r == 0, prevlpb_ref[:],
+                             lpb_ref[pl.ds(rm1, 1)][0])
+        lpl_row = lpl_ref[pl.ds(r, 1)][0]
+        p = jnp.where(col < Ul, lpl_row, 0.0)
+        cum_p = _cumsum_l2r(p) - p                         # exclusive
+        c = jnp.where(t == 0,
+                      jnp.where(col == 0, 0.0, NEG),
+                      prev_row + lpb_prev)
+        c = jnp.where(col <= Ul, c, NEG)
+        row = cum_p + _logcumsumexp_l2r(c - cum_p)
+        alpha_ref[pl.ds(r, 1)] = row[None]
+        lpb_row = lpb_ref[pl.ds(r, 1)][0]
+        terminal = jnp.sum(jnp.where(col == Ul, row + lpb_row, 0.0),
+                           axis=1, keepdims=True)
+        logz = jnp.where(t == Tl - 1, terminal, logz)
+        return row, logz
+
+    init = (carry_ref[:], zacc_ref[:])
+    last_row, logz = jax.lax.fori_loop(0, slab, alpha_row, init)
+    carry_ref[:] = last_row
+    zacc_ref[:] = logz
+    prevlpb_ref[:] = lpb_ref[pl.ds(slab - 1, 1)][0]
+    logz_ref[:] = logz
+
+
+def _rnnt_beta_slab_kernel(t_lens_ref, u_lens_ref, lpb_ref, lpl_ref,
+                           alpha_in_ref, logz_ref, dlpb_ref, dlpl_ref,
+                           beta_ref, *, slab, U1, block, n_slabs):
+    """Streaming beta + gradient pass: T-slabs arrive in REVERSE order
+    (the index maps send grid step j to slab ``n_slabs - 1 - j``); the
+    beta row carries across slabs in ``beta_ref``. Same row math as
+    ``_rnnt_kernel`` phase 2; gradients overwrite the streamed lpb/lpl
+    tiles in place (``input_output_aliases``)."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (block, U1), 1)
+    Tl = jnp.stack([t_lens_ref[i * block + b]
+                    for b in range(block)]).reshape(block, 1)
+    Ul = jnp.stack([u_lens_ref[i * block + b]
+                    for b in range(block)]).reshape(block, 1)
+    logz = logz_ref[:]
+
+    @pl.when(j == 0)
+    def _init():
+        beta_ref[:] = jnp.full((block, U1), NEG)
+
+    base = (n_slabs - 1 - j) * slab
+
+    def beta_row(ridx, beta_next):
+        r = slab - 1 - ridx
+        t = base + r
+        lpb_row = lpb_ref[pl.ds(r, 1)][0]
+        lpl_row = lpl_ref[pl.ds(r, 1)][0]
+        alpha_row_v = alpha_in_ref[pl.ds(r, 1)][0]
+        in_last_row = (t == Tl - 1)
+        d = jnp.where(in_last_row,
+                      jnp.where(col == Ul, lpb_row, NEG),
+                      beta_next + lpb_row)
+        d = jnp.where(col <= Ul, d, NEG)
+        p = jnp.where(col < Ul, lpl_row, 0.0)
+        cs = _cumsum_l2r(p)
+        suf_p = cs[:, -1:] - cs + p                         # inclusive
+        beta_row_v = suf_p + _logcumsumexp_r2l(d - suf_p)
+        beta_row_v = jnp.where(col <= Ul, beta_row_v, NEG)
+
+        valid_t = t < Tl
+        beta_t1 = jnp.where(in_last_row,
+                            jnp.where(col == Ul, 0.0, NEG),
+                            beta_next)
+        g_b = -jnp.exp(jnp.where(valid_t & (col <= Ul),
+                                 alpha_row_v + lpb_row + beta_t1 - logz,
+                                 NEG))
+        beta_u1 = _shift_left(beta_row_v, 1)
+        g_l = -jnp.exp(jnp.where(valid_t & (col < Ul),
+                                 alpha_row_v + lpl_row + beta_u1 - logz,
+                                 NEG))
+        dlpb_ref[pl.ds(r, 1)] = g_b[None]
+        dlpl_ref[pl.ds(r, 1)] = g_l[None]
+        return jnp.where(valid_t, beta_row_v, beta_next)
+
+    beta_ref[:] = jax.lax.fori_loop(0, slab, beta_row, beta_ref[:])
+
+
 def _block_size(T, U1):
     """Largest batch block whose 3 lattices fit the VMEM budget.
 
@@ -199,14 +325,27 @@ def _block_size(T, U1):
     per_sample = 3 * T * U1 * 4
     # Mosaic requires the (block, U1) tile's sublane dim to be a
     # multiple of 8 (or equal to the padded batch) — blocks below 8 are
-    # not generally lowerable, so lattices too big for block=8 fall
-    # back to the XLA wavefront via pallas_applicable. Surfaced by the
-    # r4 realistic-length bench (16 s mixtures: T=408, U1=256 -> the
-    # old block=4 failed to lower).
+    # not generally lowerable. Lattices too big for block=8 use the
+    # T-slab streaming variant below instead (r4: the 16 s realistic
+    # bucket's T=408, U1p=256 lattice overflows VMEM at block=8, and
+    # the XLA wavefront it used to fall back to costs ~305 ms/step at
+    # that shape — 34x the whole 12 s-bucket train step).
     for bs in (64, 32, 16, 8):
         if bs * per_sample <= _VMEM_BUDGET:
             return bs
     return 0
+
+
+def _slab_geometry(U1):
+    """(block, slab) for the streaming kernel: the beta pass holds ~10
+    double-buffered (slab, block, U1) tiles in VMEM (lpb/lpl/alpha in,
+    dlpb/dlpl out). Prefer batch width (block: VPU row-tile sublanes)
+    over slab depth (slab: DMA granularity only)."""
+    for block in (64, 32, 16, 8):
+        for slab in (32, 16, 8):
+            if 10 * slab * block * U1 * 4 <= _VMEM_BUDGET:
+                return block, slab
+    return 0, 0
 
 
 def pallas_applicable(logits_shape, force=False):
@@ -219,12 +358,37 @@ def pallas_applicable(logits_shape, force=False):
     if platform not in ("tpu",):
         return False
     B, T, U1, V = logits_shape
-    return _block_size(T, _round_up(U1, _LANE)) >= 1
+    U1p = _round_up(U1, _LANE)
+    return _block_size(T, U1p) >= 1 or _slab_geometry(U1p)[0] >= 1
 
 
-@functools.partial(jax.jit, static_argnames=("blank", "interpret"))
-def _pallas_lattice(lpb, lpl, t_lens, u_lens, blank=0, interpret=False):
-    """(B,T,U1) blank/label log-probs -> (loss (B,), dlpb, dlpl)."""
+def _pallas_lattice(lpb, lpl, t_lens, u_lens, blank=0, interpret=False,
+                    variant="auto"):
+    """(B,T,U1) blank/label log-probs -> (loss (B,), dlpb, dlpl).
+
+    ``variant``: "auto" uses the VMEM-resident kernel when the full
+    lattice fits (fastest — one pass, no HBM alpha round-trip) and the
+    T-slab streaming kernel otherwise; "resident"/"slab" force a path
+    (slab is forced globally by ``TSASR_RNNT_SLAB=1`` for benching).
+    The variant is resolved here, OUTSIDE jit, so the env override can
+    never be baked into a stale cache entry.
+    """
+    import os
+    if variant == "auto" and os.environ.get("TSASR_RNNT_SLAB") == "1":
+        variant = "slab"
+    if variant == "auto":
+        _, T, U1 = lpb.shape
+        variant = ("resident"
+                   if _block_size(_round_up(T, 8),
+                                  _round_up(U1, _LANE)) >= 1 else "slab")
+    fn = (_pallas_lattice_slab if variant == "slab"
+          else _pallas_lattice_resident)
+    return fn(lpb, lpl, t_lens, u_lens, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_lattice_resident(lpb, lpl, t_lens, u_lens, interpret=False):
+    """Whole-lattice-in-VMEM kernel (original single-pass variant)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -284,6 +448,97 @@ def _pallas_lattice(lpb, lpl, t_lens, u_lens, blank=0, interpret=False):
     dlpb = jnp.moveaxis(dlpb, 0, 1)
     dlpl = jnp.moveaxis(dlpl, 0, 1)
     return (loss[:B, 0], dlpb[:B, :T_orig, :U1],
+            dlpl[:B, :T_orig, :U1])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_lattice_slab(lpb, lpl, t_lens, u_lens, interpret=False):
+    """T-slab streaming kernel pair: any-T lattices at VMEM-resident
+    speed (two passes over T instead of one, plus one HBM round-trip
+    for alpha — ~8 lattice-sized HBM transfers total, microseconds at
+    the shapes where this path engages vs the ~100x-slower XLA
+    wavefront it replaces)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, T, U1 = lpb.shape
+    U1p = _round_up(U1, _LANE)
+    block, slab = _slab_geometry(U1p)
+    if block == 0:
+        raise ValueError("lattice too large for the Pallas kernel")
+    Tp = _round_up(T, slab)
+    if U1p != U1 or Tp != T:
+        lpb = jnp.pad(lpb, ((0, 0), (0, Tp - T), (0, U1p - U1)),
+                      constant_values=NEG)
+        lpl = jnp.pad(lpl, ((0, 0), (0, Tp - T), (0, U1p - U1)),
+                      constant_values=NEG)
+    T_orig, T = T, Tp
+    Bp = _round_up(B, block)
+    if Bp != B:
+        pad = Bp - B
+        lpb = jnp.pad(lpb, ((0, pad), (0, 0), (0, 0)))
+        lpl = jnp.pad(lpl, ((0, pad), (0, 0), (0, 0)))
+        t_lens = jnp.pad(t_lens, (0, pad), constant_values=1)
+        u_lens = jnp.pad(u_lens, (0, pad), constant_values=0)
+
+    n_slabs = T // slab
+    grid = (Bp // block, n_slabs)
+    # T-major layout, as in the resident kernel
+    lpb = jnp.moveaxis(lpb, 0, 1)
+    lpl = jnp.moveaxis(lpl, 0, 1)
+    fwd_spec = pl.BlockSpec((slab, block, U1p),
+                            lambda i, j, *prefetch: (j, i, 0))
+    rev_spec = pl.BlockSpec((slab, block, U1p),
+                            lambda i, j, *prefetch: (n_slabs - 1 - j, i,
+                                                     0))
+    z_spec = pl.BlockSpec((block, 1), lambda i, j, *prefetch: (i, 0))
+
+    alpha_kernel = functools.partial(_rnnt_alpha_slab_kernel, slab=slab,
+                                     U1=U1p, block=block)
+    logz, alpha = pl.pallas_call(
+        alpha_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[fwd_spec, fwd_spec],
+            out_specs=(z_spec, fwd_spec),
+            scratch_shapes=[
+                pltpu.VMEM((block, U1p), jnp.float32),   # alpha carry
+                pltpu.VMEM((block, U1p), jnp.float32),   # prev lpb row
+                pltpu.VMEM((block, 1), jnp.float32),     # running logZ
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((T, Bp, U1p), jnp.float32),
+        ),
+        interpret=interpret,
+    )(t_lens, u_lens, lpb, lpl)
+
+    beta_kernel = functools.partial(_rnnt_beta_slab_kernel, slab=slab,
+                                    U1=U1p, block=block, n_slabs=n_slabs)
+    dlpb, dlpl = pl.pallas_call(
+        beta_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[rev_spec, rev_spec, rev_spec, z_spec],
+            out_specs=(rev_spec, rev_spec),
+            scratch_shapes=[
+                pltpu.VMEM((block, U1p), jnp.float32),   # beta carry
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, Bp, U1p), jnp.float32),
+            jax.ShapeDtypeStruct((T, Bp, U1p), jnp.float32),
+        ),
+        input_output_aliases={2: 0, 3: 1},  # lpb->dlpb, lpl->dlpl
+        interpret=interpret,
+    )(t_lens, u_lens, lpb, lpl, alpha, logz)
+
+    dlpb = jnp.moveaxis(dlpb, 0, 1)
+    dlpl = jnp.moveaxis(dlpl, 0, 1)
+    return (-logz[:B, 0], dlpb[:B, :T_orig, :U1],
             dlpl[:B, :T_orig, :U1])
 
 
