@@ -19,7 +19,12 @@ Also quantifies the sequence-packing question with numbers:
 - the attention-FLOP multiplier packing would introduce (dense
   attention computes the full packed T^2 even across segment masks).
 
-Prints one JSON line; also writes reports/bench_realistic_r4.json.
+Prints one JSON line; also writes reports/bench_realistic_r5.json.
+
+Env knobs: BENCH_FUSED_ATTN=1 swaps in the fused Pallas rel-pos
+attention (long-T crossover question); BENCH_BUCKETS=20,24,33 restricts
+the sweep to a bucket subset (weights renormalized, result marked
+"partial"); BENCH_STEPS_PER_CALL tunes the scan-of-N dispatch.
 """
 
 import json
@@ -99,6 +104,11 @@ def main():
     assigned = np.array([next((b for b in bucket_edges if d <= b),
                               bucket_edges[-1]) for d in durations])
     weights = {b: float((assigned == b).mean()) for b in bucket_edges}
+    run_buckets = bucket_edges
+    if os.environ.get("BENCH_BUCKETS"):
+        run_buckets = [int(b) for b in
+                       os.environ["BENCH_BUCKETS"].split(",")]
+        assert all(b in bucket_edges for b in run_buckets), run_buckets
 
     sr = 16000
     enr_sec = 5
@@ -168,7 +178,7 @@ def main():
     if os.path.exists(rows_cache):
         with open(rows_cache) as f:
             done = {r["bucket_s"]: r for r in json.load(f)}
-    for mix_sec in bucket_edges:
+    for mix_sec in run_buckets:
         if mix_sec in done:
             rows.append(done[mix_sec])
             print(json.dumps(done[mix_sec]) + "  # cached",
@@ -241,15 +251,19 @@ def main():
 
     # distribution-weighted aggregate: time to process one "average"
     # epoch second of audio = sum_b weight_b / audio_rate_b
-    inv_rate = sum(r["weight"] / r["audio_sec_per_sec"] for r in rows)
+    # (weights renormalized over the run subset when BENCH_BUCKETS set)
+    wsum = sum(r["weight"] for r in rows)
+    inv_rate = sum(r["weight"] / wsum / r["audio_sec_per_sec"]
+                   for r in rows)
     agg_audio_rate = 1.0 / inv_rate
     mean_dur = float(durations.mean())
     agg_samples = agg_audio_rate / mean_dur
-    agg_mfu = sum(r["weight"] * r["mfu_pct"] for r in rows)
+    agg_mfu = sum(r["weight"] / wsum * r["mfu_pct"] for r in rows)
 
     result = {
         "metric": "realistic_distribution_train_throughput",
         "fused_attention": fused_attn,
+        "partial": len(run_buckets) < len(bucket_edges),
         "value": round(agg_audio_rate, 1),
         "unit": "audio_sec/s/chip",
         "samples_per_sec_per_chip": round(agg_samples, 2),
@@ -265,7 +279,7 @@ def main():
     }
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "reports",
-        f"bench_realistic_r4{variant}.json")
+        f"bench_realistic_r5{variant}.json")
     with open(out, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))

@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""Real-TPU proof of the T-slab streaming RNN-T kernel (round-5 verdict
+item 2): the slab kernel sits in the production ``variant="auto"``
+dispatch for long-T lattices, but round 4 shipped it with interpret-mode
+CPU tests only — the Mosaic failure class it was built around (sublane
+block floor) is invisible to interpret mode.
+
+This tool runs on the real chip and, per shape:
+1. confirms what the auto dispatch picks (resident kernel inapplicable
+   at long T → slab is the PRODUCTION path, not an opt-in);
+2. pins loss AND all grads (enc/dec/head_w/head_b) of the production
+   fused joint+head+loss (``rnnt_loss_fused``) with the slab solver
+   against the XLA wavefront solver, with RAGGED t/u lengths;
+3. times value+grad for both solvers (scan-of-N amortized dispatch).
+
+Writes ``reports/rnnt_slab_tpu_r5.json`` and prints one JSON line.
+Shapes: the 16 s realistic bucket (where the sublane floor first
+surfaced, r4) and a 33 s-bucket lattice (T≈830 encoder frames — the
+``train_remove_if_longer: 60.0`` operating range's bucketed middle,
+reference ``hparams/LibriSpeechMix/conformer-t_scratch.yaml:42-44``).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main():
+    # Force the slab variant for every Pallas solve in this process —
+    # set BEFORE anything compiles (the variant is resolved at trace
+    # time; see _pallas_lattice docstring). auto_variant in the output
+    # records what the production dispatch would pick per shape.
+    os.environ["TSASR_RNNT_SLAB"] = "1"
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    platform = jax.devices()[0].platform
+    if platform != "tpu":
+        raise SystemExit(f"this proof must run on TPU, got {platform!r}")
+
+    from tsasr_tpu.ops import rnnt_loss_pallas as rp
+    from tsasr_tpu.ops.rnnt_loss_fused import rnnt_loss_fused
+
+    B, J, V = 8, 256, 29
+    shapes = [
+        # (tag, T, U): 16 s bucket (r4 sublane-floor trigger), 33 s bucket
+        ("16s_bucket", 408, 144),
+        ("33s_bucket", 832, 297),
+    ]
+    steps = int(os.environ.get("SLAB_PROOF_STEPS", "8"))
+    results = []
+    for tag, T, U in shapes:
+        U1 = U + 1
+        resident_block = rp._block_size(rp._round_up(T, 8),
+                                        rp._round_up(U1, rp._LANE))
+        auto_variant = "resident" if resident_block >= 1 else "slab"
+
+        rng = np.random.default_rng(hash(tag) % 2**31)
+        enc = jnp.asarray(rng.normal(size=(B, T, J)) * 0.3, jnp.float32)
+        dec = jnp.asarray(rng.normal(size=(B, U1, J)) * 0.3, jnp.float32)
+        w = jnp.asarray(rng.normal(size=(J, V)) * 0.1, jnp.float32)
+        b = jnp.asarray(rng.normal(size=(V,)) * 0.1, jnp.float32)
+        labels = jnp.asarray(rng.integers(1, V, size=(B, U)), jnp.int32)
+        # ragged lengths: exercise masking in both solvers
+        t_lens = jnp.asarray(
+            np.linspace(T // 2, T, B).round(), jnp.int32)
+        u_lens = jnp.asarray(
+            np.linspace(U // 2, U, B).round(), jnp.int32)
+
+        def make(use_pallas):
+            def loss_fn(enc, dec, w, b):
+                return rnnt_loss_fused(enc, dec, w, b, labels, t_lens,
+                                       u_lens, chunk=8, reduction="mean",
+                                       use_pallas=use_pallas)
+            return jax.jit(jax.value_and_grad(loss_fn,
+                                              argnums=(0, 1, 2, 3)))
+
+        fn_pl = make(True)       # forced Pallas -> slab at these T
+        fn_xla = make(False)     # XLA wavefront solver
+
+        loss_pl, g_pl = jax.block_until_ready(fn_pl(enc, dec, w, b))
+        loss_xla, g_xla = jax.block_until_ready(fn_xla(enc, dec, w, b))
+
+        def maxdiff(a, b):
+            return float(jnp.max(jnp.abs(a - b)))
+
+        parity = {
+            "loss_pallas": float(loss_pl),
+            "loss_xla": float(loss_xla),
+            "loss_absdiff": abs(float(loss_pl) - float(loss_xla)),
+            "grad_enc_maxdiff": maxdiff(g_pl[0], g_xla[0]),
+            "grad_dec_maxdiff": maxdiff(g_pl[1], g_xla[1]),
+            "grad_w_maxdiff": maxdiff(g_pl[2], g_xla[2]),
+            "grad_b_maxdiff": maxdiff(g_pl[3], g_xla[3]),
+            "grad_enc_scale": float(jnp.max(jnp.abs(g_xla[0]))),
+        }
+        rel = parity["loss_absdiff"] / max(abs(parity["loss_xla"]), 1e-9)
+        ok = (rel < 1e-4
+              and parity["grad_enc_maxdiff"]
+              < 1e-3 * max(parity["grad_enc_scale"], 1e-3) + 1e-5
+              and parity["grad_w_maxdiff"] < 1e-3
+              and parity["grad_b_maxdiff"] < 1e-3)
+
+        def timed(fn):
+            def multi(enc):
+                def body(acc, _):
+                    loss, grads = fn(enc, dec, w, b)
+                    return acc + loss + grads[0].mean(), None
+                acc, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                                      length=steps)
+                return acc
+            mfn = jax.jit(multi)
+            float(mfn(enc))
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(mfn(enc))
+                times.append(time.perf_counter() - t0)
+            return float(np.median(times)) / steps * 1e3
+
+        slab_ms = timed(fn_pl)   # jitted fn inlines under the outer jit
+        xla_ms = timed(fn_xla)
+
+        results.append({
+            "shape": f"B{B}xT{T}xU1{U1}xJ{J}xV{V}",
+            "tag": tag,
+            "auto_variant": auto_variant,
+            "resident_block": int(resident_block),
+            "parity_ok": bool(ok),
+            **{k: (round(v, 8) if isinstance(v, float) else v)
+               for k, v in parity.items()},
+            "slab_value_and_grad_ms": round(slab_ms, 2),
+            "xla_wavefront_value_and_grad_ms": round(xla_ms, 2),
+            "speedup": round(xla_ms / slab_ms, 2),
+        })
+        print(json.dumps(results[-1]), file=sys.stderr, flush=True)
+
+    out = {
+        "metric": "rnnt_slab_kernel_tpu_proof",
+        "platform": platform,
+        "device": str(jax.devices()[0]),
+        "all_parity_ok": all(r["parity_ok"] for r in results),
+        "shapes": results,
+    }
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "reports", "rnnt_slab_tpu_r5.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -30,6 +30,7 @@ numpy-only by construction (``data/{mixing,dataio,audio}.py``).
 """
 
 import multiprocessing
+import pickle
 import queue
 import threading
 
@@ -42,7 +43,7 @@ class SaveableDataLoader:
     def __init__(self, dataset, batch_size=1, batch_sampler=None,
                  sampler=None, collate_fn=None, drop_last=False,
                  num_workers=0, prefetch=2, pad_to_multiple=None,
-                 worker_mode="thread"):
+                 worker_mode="thread", mp_context="fork"):
         if worker_mode not in ("thread", "process"):
             raise ValueError(
                 f"worker_mode must be 'thread' or 'process', "
@@ -56,6 +57,7 @@ class SaveableDataLoader:
         self.drop_last = drop_last
         self.num_workers = num_workers
         self.worker_mode = worker_mode
+        self.mp_context = mp_context
         self.prefetch = max(1, prefetch)
         self._speechbrain_recovery_skip_to = None
         self._num_batches_yielded = 0
@@ -116,7 +118,12 @@ class SaveableDataLoader:
         the parent. Deterministic: batch n is evaluated by worker
         ``n % W`` and consumed in order, so the stream equals the
         serial loader's exactly (resume counts stay valid)."""
-        ctx = multiprocessing.get_context("fork")
+        # "fork" inherits the dataset zero-copy but is unsafe from a
+        # multithreaded parent (JAX runtime threads): configure process
+        # mode BEFORE first device use, or pass mp_context="forkserver"
+        # (requires a picklable dataset). The per-worker first-payload
+        # deadline below fails a fork deadlock fast instead of hanging.
+        ctx = multiprocessing.get_context(self.mp_context)
         batches = [list(ix) for ix in self._batch_indices()]
         W = min(self.num_workers, max(1, len(batches) - skip))
         out_qs = [ctx.Queue(maxsize=self.prefetch) for _ in range(W)]
@@ -129,13 +136,21 @@ class SaveableDataLoader:
         ]
         for p in procs:
             p.start()
+        produced = [False] * W
         try:
             for n in range(skip, len(batches)):
                 wid = (n - skip) % W
+                # A fork-inherited-lock deadlock manifests as a worker
+                # that never produces its FIRST payload; 120 s is ample
+                # for one batch of numpy work. Later stalls get the
+                # long deadline (the item pipeline can legitimately be
+                # slow on huge batches).
+                deadline = 120.0 if not produced[wid] else 600.0
                 waited = 0.0
                 while True:
                     try:
                         got_n, payload = out_qs[wid].get(timeout=5.0)
+                        produced[wid] = True
                         break
                     except queue.Empty:
                         if not procs[wid].is_alive():
@@ -143,7 +158,7 @@ class SaveableDataLoader:
                                 f"loader worker {wid} died "
                                 f"(exitcode {procs[wid].exitcode})")
                         waited += 5.0
-                        if waited >= 600.0:
+                        if waited >= deadline:
                             # forked children of a multithreaded parent
                             # can (rarely) deadlock on inherited locks;
                             # fail loudly instead of hanging training
@@ -190,11 +205,16 @@ def _item_worker(dataset, batches, skip, wid, W, out_q):
         for n in range(skip + wid, len(batches), W):
             out_q.put((n, [dataset[i] for i in batches[n]]))
     except BaseException as e:  # propagate into the parent's iterator
+        # Queue.put pickles in a background feeder thread, so an
+        # unpicklable exception would NOT raise here — it would kill
+        # the feeder and the parent would only see "worker died".
+        # Pre-validate picklability and fall back to a string carrier.
         try:
-            out_q.put((-1, e))
-        except Exception:  # unpicklable exception: keep the message
-            out_q.put((-1, RuntimeError(
-                f"{type(e).__name__}: {e} (in loader worker {wid})")))
+            pickle.dumps(e)
+        except Exception:
+            e = RuntimeError(
+                f"{type(e).__name__}: {e} (in loader worker {wid})")
+        out_q.put((-1, e))
 
 
 def _prefetch_iter(source, depth):

@@ -370,8 +370,10 @@ def _pallas_lattice(lpb, lpl, t_lens, u_lens, blank=0, interpret=False,
     lattice fits (fastest — one pass, no HBM alpha round-trip) and the
     T-slab streaming kernel otherwise; "resident"/"slab" force a path
     (slab is forced globally by ``TSASR_RNNT_SLAB=1`` for benching).
-    The variant is resolved here, OUTSIDE jit, so the env override can
-    never be baked into a stale cache entry.
+    The variant is resolved in Python at trace time — when the caller
+    sits under an outer jit (the production fused-loss train step), the
+    env override is baked into THAT trace, so ``TSASR_RNNT_SLAB`` must
+    be set before the train step first compiles (bench-only knob).
     """
     import os
     if variant == "auto" and os.environ.get("TSASR_RNNT_SLAB") == "1":
