@@ -26,7 +26,19 @@ Assertions:
 - the restore run reproduces the fit run's test WER exactly
   (multi-process checkpoint save -> restore round trip).
 
-Writes ``reports/multiprocess_r4/`` (summary.json + README + logs).
+Round-5 hardening (r4 verdict weak #3 / item 5): the r4 proof trained
+2 epochs, so every WER was 100.0 and the WER-equality checks passed
+vacuously. Now the fit runs ``MP_PROOF_EPOCHS`` (default 80) epochs —
+the synthetic splits draw from one shared utterance inventory, so the
+model can memorize audio->text and test WER drops well below 100,
+making the metric-merge and restore equalities discriminating (an
+explicit ``wer_nondegenerate`` check enforces it). A fourth run
+exercises ``worker_mode=process`` (fork-under-JAX with the loader's
+deadlock watchdog armed) inside a real 2-process fit and pins its
+per-epoch losses to the thread-mode run's prefix (process workers
+guarantee deterministic batch order).
+
+Writes ``reports/multiprocess_r5/`` (summary.json + README + logs).
 Reference being matched: multi-process DDP training,
 ``/root/reference/README.md:38-51``,
 ``vendor/speechbrain/speechbrain/utils/distributed.py:123-201``.
@@ -41,12 +53,15 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+N_EPOCHS = int(os.environ.get("MP_PROOF_EPOCHS", "80"))
+
 OVERRIDES = [
     "--d_model", "64", "--nhead", "4", "--encoder_num_layers", "2",
     "--d_ffn", "256", "--kernel_size", "15", "--decoder_neurons", "128",
     "--joint_dim", "128", "--dropout", "0.1", "--augment", "False",
-    "--num_epochs", "2", "--warmup_steps", "50", "--beam_size", "5",
-    "--valid_search_freq", "1", "--gain_nontarget", "-30",
+    "--num_epochs", str(N_EPOCHS), "--warmup_steps", "25",
+    "--beam_size", "5",
+    "--valid_search_freq", "8", "--gain_nontarget", "-30",
     "--grad_accumulation_factor", "1",
 ]
 
@@ -110,7 +125,7 @@ def parse_train_log(path):
 
 def main():
     work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/mp_proof"
-    report_dir = os.path.join(REPO, "reports", "multiprocess_r4")
+    report_dir = os.path.join(REPO, "reports", "multiprocess_r5")
     os.makedirs(work, exist_ok=True)
     os.makedirs(report_dir, exist_ok=True)
 
@@ -158,6 +173,25 @@ def main():
         base_env(), os.path.join(work, "restore.log"))
     restored = parse_train_log(os.path.join(multi_out, "train_log.txt"))
 
+    # 4. worker_mode=process variant: fork-under-JAX in a real
+    # 2-process fit (loader deadlock watchdog armed). Process workers
+    # guarantee deterministic batch order, so its per-epoch losses must
+    # be IDENTICAL to the thread-mode multi run's prefix.
+    pw_epochs = min(4, N_EPOCHS)
+    pw_out = os.path.join(work, "multi_procworkers")
+    pw_log_dir = os.path.join(work, "proc_logs_pw")
+    if not os.path.exists(os.path.join(pw_out, "train_log.txt")):
+        pw_args = list(script_args)
+        pw_args[pw_args.index("--num_epochs") + 1] = str(pw_epochs)
+        run([sys.executable, "-m", "tsasr_tpu.parallel.launch",
+             "--nproc_per_node", "2", "--devices_per_process", "4",
+             "--log_dir", pw_log_dir] + pw_args +
+            ["--output_folder", pw_out,
+             "--dataloader_worker_mode", "process",
+             "--dataloader_workers", "2"],
+            base_env(), os.path.join(work, "multi_procworkers.log"))
+    procw = parse_train_log(os.path.join(pw_out, "train_log.txt"))
+
     checks = {}
 
     def check(name, ok, detail):
@@ -193,6 +227,28 @@ def main():
           f"fit {fit_test_wer} vs restored "
           f"{restored['test'] and restored['test']['test_wer']}")
 
+    # the r4 proof's WER equalities were vacuous (everything 100.0);
+    # require a test WER that actually discriminates the merge path
+    check("wer_nondegenerate", fit_test_wer < 95.0,
+          f"test WER {fit_test_wer} (must be < 95 so the WER-merge and "
+          f"restore equalities test the metric path, not the constant "
+          f"function)")
+
+    # process-worker fit reproduces the thread-mode losses exactly
+    # (deterministic batch order) and completed under the watchdog
+    for pe in procw["epochs"]:
+        te = next((e for e in multi["epochs"]
+                   if e["epoch"] == pe["epoch"]), None)
+        rel = (abs(pe["train_loss"] - te["train_loss"]) /
+               max(abs(te["train_loss"]), 1e-9)) if te else 1.0
+        check(f"procworker_train_loss_epoch{pe['epoch']}",
+              te is not None and rel < 5e-3,
+              f"process-workers {pe['train_loss']:.4f} vs thread "
+              f"{te and te['train_loss']:.4f} (rel {rel:.2e})")
+    check("procworker_completed", len(procw["epochs"]) >= pw_epochs,
+          f"{len(procw['epochs'])} epochs logged in the "
+          f"worker_mode=process 2-process fit")
+
     # merged WER file covers the full test set exactly once (each
     # mixture explodes into one utterance per target speaker)
     wer_file = None
@@ -225,8 +281,9 @@ def main():
     check("eval_sharded_and_merged", both_sharded,
           f"per-process (local, merged) counts: {shards}")
 
-    summary = {"single": single, "multi": multi, "restored_test":
-               restored["test"], "checks": checks,
+    summary = {"epochs": N_EPOCHS, "single": single, "multi": multi,
+               "restored_test": restored["test"],
+               "process_workers": procw, "checks": checks,
                "all_ok": all(c["ok"] for c in checks.values())}
     with open(os.path.join(report_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
@@ -236,7 +293,11 @@ def main():
             (os.path.join(multi_out, "train_log.txt"),
              "train_log_multi.txt"),
             (os.path.join(log_dir, "proc0.log"), "proc0.log"),
-            (os.path.join(log_dir, "proc1.log"), "proc1.log")]:
+            (os.path.join(log_dir, "proc1.log"), "proc1.log"),
+            (os.path.join(pw_out, "train_log.txt"),
+             "train_log_procworkers.txt"),
+            (os.path.join(pw_log_dir, "proc0.log"),
+             "proc0_procworkers.log")]:
         if os.path.exists(src):
             shutil.copy(src, os.path.join(report_dir, dst))
     print(f"[proof] all_ok={summary['all_ok']} -> {report_dir}")
