@@ -63,6 +63,11 @@ OVERRIDES = [
     "--beam_size", "5",
     "--valid_search_freq", "8", "--gain_nontarget", "-30",
     "--grad_accumulation_factor", "1",
+    # static batching: 2 big steps/epoch instead of 12 small ones —
+    # on this 1-core host the proof is dispatch-bound, and the fixed
+    # batch size also keeps the single/multi step counts identical by
+    # construction (12 rows = divisible by 8 devices and by 2 procs x 4)
+    "--dynamic_batching", "False", "--train_batch_size", "12",
 ]
 
 
