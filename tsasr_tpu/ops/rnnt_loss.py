@@ -36,6 +36,21 @@ Gradients w.r.t. the label/blank log-probs are the usual occupancies:
     d(-logZ)/d lab[t,u]   = -exp(alpha[t,u] + lab[t,u]  + beta[t,u+1] - logZ)
 
 (with beta[T,U] := 0 for the terminal blank transition).
+
+KNOWN HARDWARE DEFECT (round 5, measured): the wavefront solver (2),
+when traced into one large XLA program on a TPU v5e — e.g. inside the
+fused-loss custom_vjp with ``use_pallas=False`` — produces gradients
+with up to ~74-99% relative error at some long-T shapes (observed at
+T=408/U1=145; nearly correct at T=832/U1=298), while (a) the identical
+code is correct on CPU (pinned against brute force in the suite),
+(b) the identical code is correct on TPU when its pieces are
+dispatched as separate programs, and (c) the Pallas slab/resident
+kernels match an independent autodiff oracle to <=0.6% at the same
+shapes (``reports/rnnt_slab_tpu_r5.json``). Production is unaffected —
+on TPU ``use_pallas="auto"`` always selects a Pallas variant (the slab
+geometry admits any T and U1 up to ~2800) — but do NOT use the
+wavefront as a TPU parity yardstick inside a fused program; compare
+against autodiff instead (see ``tools/prove_rnnt_slab.py``).
 """
 
 import functools
