@@ -665,6 +665,13 @@ def build_dataloader_kwargs(hparams, dataset, stage):
         # needs worker_mode: process
         workers = min(workers, 1)
     kwargs = {"num_workers": workers, "worker_mode": worker_mode,
+              # forkserver spawns workers from a clean exec'd daemon:
+              # required when process workers run inside a
+              # jax.distributed fit — a plain fork from the
+              # gloo-threaded trainer kills the coordination client
+              # (measured r5: GetKeyValue DEADLINE_EXCEEDED in the
+              # 2-process proof; reports/multiprocess_r5)
+              "mp_context": hparams.get("dataloader_mp_context", "fork"),
               "pad_to_multiple": hparams.get("pad_to_multiple")}
     if hparams.get("dynamic_batching", True):
         sampler = DynamicBatchSampler(
