@@ -207,6 +207,52 @@ def paired_t(xs, ys):
     return md, t, 0.04 if p_lt_05 else 0.5
 
 
+def parse_wer_utts(path):
+    """Per-utterance (errors, words) from a Kaldi-format WER file."""
+    utts = {}
+    for line in open(path):
+        m = re.match(r"(\S+), %WER [\d.e+-]+ \[ (\d+) / (\d+),", line)
+        if m:
+            utts[m.group(1)] = (int(m.group(2)), int(m.group(3)))
+    return utts
+
+
+def paired_bootstrap_wer(ref_utts, tpu_utts, n=10000, seed=0):
+    """Utterance-level paired bootstrap of the WER difference
+    (tpu - ref) on a SHARED test set: resample utterances with
+    replacement, recompute both corpus WERs on each resample. Gives a
+    CI for a single training-seed pair (the seed-level CI needs
+    multiple seeds; this answers 'on this test set, is the gap within
+    resampling noise?')."""
+    import random
+    ids = sorted(set(ref_utts) & set(tpu_utts))
+    if not ids:
+        return None
+    re_ = [ref_utts[i][0] for i in ids]
+    rw = [ref_utts[i][1] for i in ids]
+    te = [tpu_utts[i][0] for i in ids]
+    tw = [tpu_utts[i][1] for i in ids]
+    k = len(ids)
+    point = 100.0 * sum(te) / max(sum(tw), 1) \
+        - 100.0 * sum(re_) / max(sum(rw), 1)
+    rnd = random.Random(seed)
+    diffs = []
+    for _ in range(n):
+        idx = [rnd.randrange(k) for _ in range(k)]
+        rE = sum(re_[j] for j in idx)
+        rW = max(sum(rw[j] for j in idx), 1)
+        tE = sum(te[j] for j in idx)
+        tW = max(sum(tw[j] for j in idx), 1)
+        diffs.append(100.0 * tE / tW - 100.0 * rE / rW)
+    diffs.sort()
+    lo = diffs[int(0.025 * n)]
+    hi = diffs[int(0.975 * n) - 1]
+    p = 2.0 * min(sum(d <= 0 for d in diffs),
+                  sum(d >= 0 for d in diffs)) / n
+    return {"n_utts": k, "wer_diff_tpu_minus_ref": point,
+            "ci95": [lo, hi], "p_two_sided": min(p, 1.0)}
+
+
 def report(work, out_dir, seeds):
     rows = []
     for fw in ("ref", "tpu"):
@@ -235,6 +281,21 @@ def report(work, out_dir, seeds):
             "paired_t": t, "p_bracket": p,
             "cis_overlap": abs(tm - rm) <= (rci + tci),
         }
+    # utterance-level paired bootstrap per common seed (meaningful even
+    # for a single seed pair, where the seed-level CI is undefined)
+    boots = {}
+    for s in common:
+        rf = os.path.join(work, "ref", f"seed{s}",
+                          "wer_test-clean-2mix.txt")
+        tf = os.path.join(work, "tpu", f"seed{s}",
+                          "wer_test-clean-2mix.txt")
+        if os.path.exists(rf) and os.path.exists(tf):
+            b = paired_bootstrap_wer(parse_wer_utts(rf),
+                                     parse_wer_utts(tf))
+            if b:
+                boots[s] = b
+    if boots:
+        summary["utterance_bootstrap"] = boots
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     # copy logs for the record
@@ -243,7 +304,7 @@ def report(work, out_dir, seeds):
         src = os.path.join(work, fw, f"seed{s}", "train_log.txt")
         shutil.copy(src, os.path.join(out_dir, f"train_log_{fw}_s{s}.txt"))
         wer = os.path.join(work, fw, f"seed{s}", "wer_test-clean-2mix.txt")
-        if os.path.exists(wer) and s == common[0] if common else False:
+        if os.path.exists(wer) and (common and s == common[0]):
             shutil.copy(wer, os.path.join(out_dir, f"wer_{fw}.txt"))
     print(json.dumps(summary.get("stats", summary), indent=2))
     return summary

@@ -303,10 +303,15 @@ def main():
           f"{n_scored} scored vs {n_test} test utterances")
 
     # both processes decoded a PROPER shard and merged (log evidence)
+    # read the trainer's own per-process logs (log.txt / log_proc1.txt
+    # live in the shared output dir, so the restore stage APPENDS to
+    # them — the last merge line reflects the current code, which
+    # matters because the static-batching eval-sharding fix postdates
+    # the 80-epoch fit)
     merge_re = re.compile(r"metric merge: (\d+) local -> (\d+) merged")
     shards = {}
     for pid, path in (
-            (0, os.path.join(log_dir, "proc0.log")),
+            (0, os.path.join(multi_out, "log.txt")),
             (1, os.path.join(multi_out, "log_proc1.txt"))):
         if os.path.exists(path):
             found = merge_re.findall(open(path).read())
@@ -333,8 +338,8 @@ def main():
             (os.path.join(log_dir, "proc1.log"), "proc1.log"),
             (os.path.join(pw_out, "train_log.txt"),
              "train_log_procworkers.txt"),
-            (os.path.join(pw_log_dir, "proc0.log"),
-             "proc0_procworkers.log")]:
+            (os.path.join(work, "single_procworkers.log"),
+             "single_procworkers.log")]:
         if os.path.exists(src):
             shutil.copy(src, os.path.join(report_dir, dst))
     print(f"[proof] all_ok={summary['all_ok']} -> {report_dir}")

@@ -690,7 +690,23 @@ def build_dataloader_kwargs(hparams, dataset, stage):
                 world_size=jax.process_count())
         kwargs["batch_sampler"] = sampler
     else:
-        kwargs["batch_size"] = hparams[f"{stage}_batch_size"]
+        bs = hparams[f"{stage}_batch_size"]
+        import jax
+        if jax.process_count() > 1 and stage != "train":
+            # static batching must shard eval across processes too —
+            # without this each process decodes the FULL eval set and
+            # only the merge-time dedup hides it (found by the r5
+            # multi-process proof's eval_sharded_and_merged check when
+            # it switched to --dynamic_batching False)
+            from tsasr_tpu.data import DistributedSamplerWrapper
+            n = len(dataset)
+            batches = [list(range(i, min(i + bs, n)))
+                       for i in range(0, n, bs)]
+            kwargs["batch_sampler"] = DistributedSamplerWrapper(
+                batches, rank=jax.process_index(),
+                world_size=jax.process_count())
+        else:
+            kwargs["batch_size"] = bs
     return kwargs
 
 
