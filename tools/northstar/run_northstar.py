@@ -72,7 +72,7 @@ def count_vocab(data_folder):
     return len(chars) + 2  # chars + word-boundary marker + <unk>
 
 
-def make_data(data_folder, train_mix, eval_mix, seed=0):
+def make_data(data_folder, train_mix, eval_mix, seed=0, encode_text=False):
     if os.path.exists(os.path.join(data_folder, "train-2mix.jsonl")):
         return
     sys.path.insert(0, REPO)
@@ -81,9 +81,10 @@ def make_data(data_folder, train_mix, eval_mix, seed=0):
     make_dataset(
         data_folder, n_speakers=10, utts_per_speaker=12,
         n_mix=eval_mix, seed=seed,
-        split_n_mix={"train-2mix": train_mix})
+        split_n_mix={"train-2mix": train_mix}, encode_text=encode_text)
     print(f"[northstar] synthetic corpus at {data_folder}: "
-          f"{train_mix} train / {eval_mix} dev / {eval_mix} test")
+          f"{train_mix} train / {eval_mix} dev / {eval_mix} test"
+          f" (encode_text={encode_text})")
 
 
 def selfcheck_loss_shim():
@@ -322,6 +323,9 @@ def main():
                     default="both")
     ap.add_argument("--tpu", action="store_true",
                     help="run the tsasr side on the real TPU chip")
+    ap.add_argument("--encode_text", action="store_true",
+                    help="text-coded waveforms (learnable-task mode; "
+                         "round-5 default for the learning-regime run)")
     ap.add_argument("--report", default=None,
                     help="write summary/logs to this dir and exit")
     args = ap.parse_args()
@@ -331,7 +335,8 @@ def main():
         return
 
     data = os.path.join(args.work, "data")
-    make_data(data, args.train_mix, args.eval_mix)
+    make_data(data, args.train_mix, args.eval_mix,
+              encode_text=args.encode_text)
     vocab = count_vocab(data)
     print(f"[northstar] vocab_size {vocab}")
     if args.framework in ("ref", "both"):
