@@ -456,12 +456,21 @@ class Brain:
             from tqdm import tqdm
             iterator = tqdm(train_set, dynamic_ncols=True,
                             desc=f"Epoch {epoch}")
+        # TSASR_LOG_STEP_TIMES=1: per-step wall times with a hard device
+        # sync each step (defeats the async dispatch pipeline, so ONLY
+        # for benchmarking — e.g. the long-utterance e2e evidence run)
+        step_times = [] if os.environ.get("TSASR_LOG_STEP_TIMES") else None
         for batch in iterator:
             self.step += 1
             should_step = ((self.global_micro_step + 1) %
                            int(self.grad_accumulation_factor)) == 0
             self.on_fit_batch_start(batch, should_step)
+            if step_times is not None:
+                t0 = time.perf_counter()
             loss = self.fit_batch(batch)
+            if step_times is not None:
+                jax.block_until_ready(loss)
+                step_times.append(time.perf_counter() - t0)
             self.avg_train_loss = self._update_average(
                 loss, self.avg_train_loss)
             self.on_fit_batch_end(batch, None, loss, should_step)
@@ -477,6 +486,15 @@ class Brain:
         if final_loss is not None:
             self.avg_train_loss = self._update_average(
                 final_loss, self.avg_train_loss)
+        if step_times:
+            warm = step_times[2:] or step_times
+            ms = sorted(t * 1e3 for t in warm)
+            logger.info(
+                "step times (epoch %d, n=%d warm of %d): "
+                "median %.1f ms, p90 %.1f ms, first %.1f ms", epoch,
+                len(ms), len(step_times), ms[len(ms) // 2],
+                ms[min(len(ms) - 1, int(0.9 * len(ms)))],
+                step_times[0] * 1e3)
         self.on_stage_end(Stage.TRAIN, self.avg_train_loss, epoch)
         self.train_stats_loss = self.avg_train_loss
         self.step = 0
