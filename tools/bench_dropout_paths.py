@@ -38,36 +38,37 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 
 def timeit(fn, *args, n=20):
-    """Median ms of fn(step, *args) with a FRESH step index per call.
+    """Median ms of fn(step, *args) with a FRESH step index per call
+    and a HOST FETCH of the scalar result per call.
 
-    The first r5 run passed the same key every iteration and measured
-    0.04 ms for a 736 MB draw (~24 TB/s — physically impossible on a
-    v5e): with identical (executable, args) the axon remote runtime
-    returns a cached result. Every variant therefore takes a step
-    index and folds it into the key INSIDE jit, so each timed call is
-    a genuinely new execution.
+    Two axon-tunnel traps found the hard way (both r5):
+
+    1. Identical (executable, args) pairs return cached results — every
+       variant folds a fresh step index into its key INSIDE jit.
+    2. ``block_until_ready`` is effectively a no-op over the tunnel
+       (the client's arrays resolve asynchronously): a 736 MB u8 draw
+       "completed" in 0.04 ms (~19 TB/s, physically impossible), while
+       fetching a scalar reduction of the same program took 44 ms.
+       Every variant therefore RETURNS A SCALAR and the timer blocks on
+       ``float(out)`` — the only reliable completion barrier here.
     """
-    out = fn(0, *args)
-    jax_block(out)
+    float(fn(0, *args))
     ts = []
     for i in range(1, n + 1):
         t0 = time.perf_counter()
-        out = fn(i, *args)
-        jax_block(out)
+        out = float(fn(i, *args))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts) * 1e3)
-
-
-def jax_block(x):
-    import jax
-    jax.tree_util.tree_map(
-        lambda a: a.block_until_ready() if hasattr(
-            a, "block_until_ready") else a, x)
 
 
 def main():
     import jax
     import jax.numpy as jnp
+
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     # headline step's dominant mask sites: 2 inner-FFN masks per layer,
     # (B*T', d_ffn) = (96*104, 2048), for 12 encoder + 6 speaker layers
@@ -85,7 +86,8 @@ def main():
     @jax.jit
     def rbg_u8(step, k):
         k = jax.random.fold_in(k, step)
-        return jax.random.bits(k, (total,), dtype=jnp.uint8)
+        return jnp.sum(jax.random.bits(k, (total,), dtype=jnp.uint8),
+                       dtype=jnp.float32)
 
     @jax.jit
     def rbg_u32cast(step, k):
@@ -94,7 +96,9 @@ def main():
         # to u8 is free in-kernel; materializing it as a (N,4) u8 array
         # would lane-pad 4->128 and explode HBM, so don't.)
         k = jax.random.fold_in(k, step)
-        return jax.random.bits(k, (total // 4,), dtype=jnp.uint32)
+        return jnp.sum(jax.random.bits(k, (total // 4,),
+                                       dtype=jnp.uint32) >> 24,
+                       dtype=jnp.float32)
 
     @jax.jit
     def rbg_u8_persite(step, k):
@@ -123,7 +127,8 @@ def main():
     @jax.jit
     def threefry_u8(step, k):
         k = jax.random.fold_in(k, step)
-        return jax.random.bits(k, (total,), dtype=jnp.uint8)
+        return jnp.sum(jax.random.bits(k, (total,), dtype=jnp.uint8),
+                       dtype=jnp.float32)
 
     result = {
         "platform": jax.devices()[0].platform,
