@@ -498,3 +498,30 @@ class TestLoggingSetup:
         finally:
             root.handlers = old_handlers
             root.setLevel(old_level)
+
+
+class TestEvaluateRecoveredEpoch:
+    def test_epoch_loaded_reports_keep_best_epoch(self, tmp_path):
+        """keep-best may recover an EARLIER epoch than the fit loop's
+        last; the reported epoch must be the recovered one (r5 fix: the
+        old `>` guard kept the fit-loop value, mislabeling e.g. a
+        recovered epoch-2 best as epoch 3)."""
+        from tsasr_tpu.recipes.librispeechmix import TSASRBrain
+        from tsasr_tpu.training.checkpoints import Checkpointer
+        from tsasr_tpu.training.epoch_loop import EpochCounter
+
+        counter = EpochCounter(limit=3)
+        ck = Checkpointer(str(tmp_path), recoverables={"counter": counter},
+                          allow_partial_load=True)
+        for epoch, wer in ((1, 5.0), (2, 1.0), (3, 4.0)):
+            counter.current = epoch
+            ck.save_checkpoint(meta={"WER": wer})
+        brain = TSASRBrain(
+            hparams={"epoch_counter": counter, "sample_rate": 16000,
+                     "n_fft": 400, "n_mels": 80, "win_length": 25.0},
+            checkpointer=ck)
+        brain._current_epoch = 3  # as left by the fit loop
+        brain.on_evaluate_start(min_key="WER")
+        assert brain._recovered_ckpt.meta["WER"] == 1.0
+        assert counter.current == 2
+        assert brain._current_epoch == 2

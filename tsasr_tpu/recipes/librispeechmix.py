@@ -353,10 +353,15 @@ class TSASRBrain(Brain):
 
     def on_evaluate_start(self, max_key=None, min_key=None):
         super().on_evaluate_start(max_key=max_key, min_key=min_key)
-        # standalone --test_only: report the RECOVERED epoch, not the
-        # fit-loop counter (which never ran)
+        # report the RECOVERED epoch: after recovery the epoch counter
+        # holds the loaded checkpoint's epoch, which keep-best selection
+        # may place BEFORE the fit loop's final epoch (the old `>` guard
+        # kept the fit-loop value and mislabeled e.g. a recovered
+        # epoch-19 best as "Epoch loaded: 20")
         counter = getattr(self.hparams, "epoch_counter", None)
-        if counter is not None and counter.current > self._current_epoch:
+        if counter is not None and (
+                getattr(self, "_recovered_ckpt", None) is not None
+                or counter.current > self._current_epoch):
             self._current_epoch = counter.current
 
     # ----------------------------------------------------------- decoding

@@ -163,8 +163,12 @@ class Brain:
 
     def on_evaluate_start(self, max_key=None, min_key=None):
         if self.checkpointer is not None:
-            self.checkpointer.recover_if_possible(min_key=min_key,
-                                                  max_key=max_key)
+            # keep the recovered checkpoint visible to subclasses: the
+            # "Epoch loaded" log line must report the epoch whose params
+            # are actually being evaluated (keep-best may pick an
+            # earlier epoch than the fit loop's last)
+            self._recovered_ckpt = self.checkpointer.recover_if_possible(
+                min_key=min_key, max_key=max_key)
 
     def evaluate_batch_extra(self, batch, arrays, predictions, stage):
         """Host-side per-eval-batch hook (decoding, metrics)."""
