@@ -11,6 +11,13 @@ import os
 # only JAX_PLATFORM_NAME reliably overrides it.
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
+
+# No persistent compilation cache under tests: once an integration test
+# imports training.experiment the cache stays enabled process-wide, and
+# a later pallas-interpret compile segfaulted inside JAX's executable
+# serializer (observed r5, jax compilation_cache.put_executable_and_time).
+# CPU test shapes compile in seconds; the cache only adds flake risk.
+os.environ["TSASR_NO_COMPILE_CACHE"] = "1"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
