@@ -504,6 +504,28 @@ class TestLoader:
         ids = [i for b in loader for i in b.id]
         assert ids == [f"u{i}" for i in range(10)]
 
+    def test_abandoned_prefetch_iter_reaps_worker_thread(self):
+        """Dropping a prefetched iterator mid-epoch (debug_batches
+        breaks do this every run) must not leak the worker thread: the
+        r5 full-suite crash dumps showed abandoned workers parked
+        forever in queue.put, pinning their datasets."""
+        import gc
+        import threading
+        import time
+
+        from tsasr_tpu.data.loader import _prefetch_iter
+
+        before = threading.active_count()
+        it = _prefetch_iter(iter(range(1000)), depth=2)
+        assert next(it) == 0
+        it.close()          # explicit close; GC close exercises same path
+        del it
+        gc.collect()
+        deadline = time.time() + 5.0
+        while threading.active_count() > before and time.time() < deadline:
+            time.sleep(0.05)
+        assert threading.active_count() <= before
+
     def test_process_workers_match_serial(self):
         """Forked item-eval workers must yield the bit-identical batch
         stream (order AND values) of the serial loader."""

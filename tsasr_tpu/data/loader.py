@@ -218,27 +218,51 @@ def _item_worker(dataset, batches, skip, wid, W, out_q):
 
 
 def _prefetch_iter(source, depth):
-    """Background-thread prefetch of an iterator."""
+    """Background-thread prefetch of an iterator.
+
+    The worker must DIE when the consumer abandons the generator
+    (``debug_batches`` breaks out mid-epoch; tests drop iterators):
+    a plain blocking ``q.put`` would park the thread forever on the
+    full queue, leaking one thread + the dataset it references per
+    abandoned iterator (observed as parked ``queue.put`` threads in
+    the r5 full-suite crash dumps). Every put is therefore guarded by
+    a stop event that the generator's ``finally`` sets on close/GC.
+    """
     q = queue.Queue(maxsize=depth)
     _END = object()
+    stop = threading.Event()
+
+    def guarded_put(item):
+        """Put unless/until the consumer is gone; True if delivered."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in source:
-                q.put(item)
-            q.put(_END)
+                if not guarded_put(item):
+                    return
+            guarded_put(_END)
         except BaseException as e:  # propagate into consumer
-            q.put(e)
+            guarded_put(e)
 
     thread = threading.Thread(target=worker, daemon=True)
     thread.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 class LoopedLoader:
